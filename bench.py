@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Metric (BASELINE.json): "Mrays/s + ms/frame at 800x800 1spp (Cornell,
+teapot); ReSTIR frame time".  The reference publishes no numbers
+(BASELINE.md), so vs_baseline is measured against an interactive-rendering
+target of 33.3 ms/frame (30 fps) at 800x800 — the bar the reference's
+ImGui-driven interactive loop implicitly sets.
+
+Run: python bench.py [--quick] [--json-only]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BASELINE_TARGET_MS = 33.33  # 30 fps interactive target
+
+
+def _time_frames(step_fn, n_warmup: int = 2, n_iter: int = 8):
+    import jax
+
+    for i in range(n_warmup):
+        jax.block_until_ready(step_fn(i))
+    t0 = time.perf_counter()
+    for i in range(n_iter):
+        jax.block_until_ready(step_fn(n_warmup + i))
+    return (time.perf_counter() - t0) / n_iter * 1e3
+
+
+def bench(quick: bool = False, verbose: bool = True):
+    import jax
+
+    from radish_pt_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    import jax.numpy as jnp
+
+    from radish_pt_tpu.config import ReservoirReuse
+    from radish_pt_tpu.render import gbuffer as gb
+    from radish_pt_tpu.render import pathtrace as pt
+    from radish_pt_tpu.render import restir as rs
+    from radish_pt_tpu.scene.build import load_scene
+
+    res = 256 if quick else 800
+    depth = 5
+    results = {}
+
+    def log(msg):
+        if verbose:
+            print(msg, file=sys.stderr)
+
+    scenes = [("cornell", os.path.join(REPO, "scenes", "cornell_box.txt"))]
+    teapot = os.path.join(REPO, "scenes", "teapot.txt")
+    if os.path.exists(teapot):
+        scenes.append(("teapot", teapot))
+
+    for name, path in scenes:
+        ds, cam, desc = load_scene(path)
+        cam = cam.replace(width=res, height=res)
+        n_rays_primary = res * res
+
+        fn = jax.jit(
+            lambda ds, cam, looper: pt.path_trace(ds, cam, looper, depth)
+        )
+        ms = _time_frames(lambda i: fn(ds, cam, i))
+        # rays per frame: primary + per-bounce (extension + shadow) upper bound
+        # count the *primary* figure like the reference's per-frame quote
+        mrays = n_rays_primary * (1 + 2 * depth) / (ms * 1e-3) / 1e6
+        results[f"{name}_pt_ms"] = round(ms, 3)
+        results[f"{name}_pt_mrays"] = round(mrays, 2)
+        log(f"[{name}] full PT {res}x{res} depth={depth}: {ms:.2f} ms/frame, {mrays:.1f} Mrays/s")
+
+        # ReSTIR frame (gbuffer + restir kernel), cornell only
+        if name == "cornell":
+            gfn = jax.jit(gb.render_gbuffer)
+            gbuf = gfn(ds, cam, cam)
+            jax.block_until_ready(gbuf)
+            n = res * res
+            reservoir = rs.empty_reservoir(n)
+
+            rfn = jax.jit(
+                lambda ds, cam, looper, gbuf, lastf, lastr, first: rs.restir_direct(
+                    ds, cam, looper, gbuf, lastf, lastr, first,
+                    ReservoirReuse.TEMPORAL_SPATIAL, 32, 20,
+                )
+            )
+
+            state = {"res": reservoir, "first": True}
+
+            def restir_step(i):
+                gbuf_i = gfn(ds, cam, cam)
+                d, r = rfn(
+                    ds, cam, i, gbuf_i, gbuf_i.frame, state["res"],
+                    jnp.asarray(state["first"]),
+                )
+                state["res"] = r
+                state["first"] = False
+                return d
+
+            ms_r = _time_frames(restir_step, n_warmup=2, n_iter=4 if quick else 8)
+            results["restir_frame_ms"] = round(ms_r, 3)
+            log(f"[cornell] ReSTIR frame (gbuffer + 32-candidate RIS + T+S reuse): {ms_r:.2f} ms")
+
+    primary = results.get("teapot_pt_ms", results["cornell_pt_ms"])
+    return {
+        "metric": "ms/frame full-MIS PT 800x800 1spp depth5 (teapot if present else cornell)",
+        "value": primary,
+        "unit": "ms",
+        "vs_baseline": round(BASELINE_TARGET_MS / primary, 3),
+        "detail": results,
+        "resolution": res,
+        "backend": None,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="256x256, fewer iters")
+    ap.add_argument("--json-only", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    out = bench(quick=args.quick, verbose=not args.json_only)
+    out["backend"] = jax.devices()[0].platform
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

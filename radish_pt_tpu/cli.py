@@ -1,0 +1,135 @@
+"""Command-line entry point.
+
+Counterpart of the reference app driver (``/root/reference/src/main.cpp:71-107``):
+``python -m radish_pt_tpu SCENEFILE.txt`` loads the scene, renders the number
+of samples given by the scene's ``Sample`` line (or ``--spp``), and saves the
+image.  There is no OpenGL preview on a TPU host; ``--preview-every N`` dumps
+intermediate PNGs instead.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="radish_pt_tpu",
+        description="TPU-native path tracer (Radish_PT capability set)",
+    )
+    p.add_argument("scene", help="scene file (reference text grammar)")
+    p.add_argument("--spp", type=int, default=None, help="override Sample count")
+    p.add_argument("--depth", type=int, default=None, help="override trace depth")
+    p.add_argument(
+        "--tracer",
+        choices=["pt", "direct", "restir", "bvh", "gbuffer"],
+        default="pt",
+        help="tracer mode (reference Tracer enum)",
+    )
+    p.add_argument(
+        "--denoiser",
+        choices=["none", "gaussian", "eaw", "svgf"],
+        default="none",
+    )
+    p.add_argument(
+        "--reuse",
+        choices=["none", "temporal", "spatial", "both"],
+        default="both",
+        help="ReSTIR reservoir reuse mode",
+    )
+    p.add_argument(
+        "--tonemap", choices=["none", "filmic", "aces"], default="aces"
+    )
+    p.add_argument("--out", default=None, help="output image path")
+    p.add_argument(
+        "--res",
+        type=int,
+        nargs=2,
+        metavar=("W", "H"),
+        default=None,
+        help="override scene resolution",
+    )
+    p.add_argument("--timing", action="store_true", help="print per-pass ms table")
+    p.add_argument("--preview-every", type=int, default=0)
+    p.add_argument("--animate-camera", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_arg_parser().parse_args(argv)
+
+    from .config import Denoiser, ReservoirReuse, ToneMapping, Tracer
+    from .render.renderer import Renderer
+    from .utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    t0 = time.time()
+    r = Renderer(scene_path=args.scene, timing=args.timing)
+    if args.res is not None:
+        r = Renderer(
+            ds=r.ds,
+            cam=r.cam.replace(width=args.res[0], height=args.res[1]),
+            desc=r.desc,
+            timing=args.timing,
+        )
+    print(
+        f"[scene loaded in {time.time() - t0:.1f}s: "
+        f"{r.ds.num_triangles} tris, BVH size {r.ds.bounds_min.shape[0]}, "
+        f"{r.ds.n_area_lights} area lights, "
+        f"{'env map, ' if r.ds.has_env else ''}"
+        f"{r.cam.width}x{r.cam.height}]"
+    )
+
+    s = r.settings
+    s.tracer = {
+        "pt": Tracer.STREAMED,
+        "direct": Tracer.DIRECT_LIGHT,
+        "restir": Tracer.RESTIR_DI,
+        "bvh": Tracer.BVH_VISUALIZE,
+        "gbuffer": Tracer.GBUFFER_PREVIEW,
+    }[args.tracer]
+    s.denoiser = {
+        "none": Denoiser.NONE,
+        "gaussian": Denoiser.GAUSSIAN,
+        "eaw": Denoiser.EA_WAVELET,
+        "svgf": Denoiser.SVGF,
+    }[args.denoiser]
+    s.reservoir_reuse = {
+        "none": ReservoirReuse.NONE,
+        "temporal": ReservoirReuse.TEMPORAL,
+        "spatial": ReservoirReuse.SPATIAL,
+        "both": ReservoirReuse.TEMPORAL_SPATIAL,
+    }[args.reuse]
+    s.tone_mapping = {
+        "none": ToneMapping.NONE,
+        "filmic": ToneMapping.FILMIC,
+        "aces": ToneMapping.ACES,
+    }[args.tonemap]
+    s.animate_camera = args.animate_camera
+    if args.depth is not None:
+        s.trace_depth = args.depth
+
+    spp = args.spp or r.state.iterations
+    print(f"[rendering {spp} spp, tracer={args.tracer}, depth={s.trace_depth}]")
+    t0 = time.time()
+    for i in range(spp):
+        r.step()
+        if args.preview_every and (i + 1) % args.preview_every == 0:
+            p = r.save(f"{r.state.image_name}_preview_{i + 1}.png")
+            print(f"  [{i + 1}/{spp}] preview -> {p}")
+        elif (i + 1) % 16 == 0 or i == 0:
+            dt = time.time() - t0
+            print(f"  [{i + 1}/{spp} spp, {dt / (i + 1) * 1e3:.1f} ms/frame avg]")
+    total = time.time() - t0
+    print(f"[done: {total:.2f}s total, {total / spp * 1e3:.2f} ms/frame]")
+    if args.timing:
+        print(r.timer.table())
+    path = r.save(args.out)
+    print(f"[saved {path}]")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

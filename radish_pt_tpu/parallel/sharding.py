@@ -1,0 +1,119 @@
+"""Multi-chip parallel rendering: pixel-tile + sample data parallelism over a
+``jax.sharding.Mesh`` with XLA collectives riding ICI.
+
+The reference is strictly single-GPU (SURVEY.md §2 row 26: one process, no
+NCCL/MPI anywhere); this module is the TPU framework's distributed backend
+(SURVEY.md §2 row 27, §5): an honest *extension* with no reference
+counterpart.
+
+Two orthogonal axes:
+* ``tile``  — the flat pixel-index space is sharded; each chip traces its own
+  rows.  No communication needed until display (an all-gather that XLA emits
+  from the output sharding).
+* ``sample`` — every chip traces the full tile shard with a decorrelated
+  sample sequence; a ``psum``-mean over the axis averages the estimates
+  (equivalent to spp = n_chips per step).
+
+The scene pytree is replicated; reservoir/G-buffer state shards with the
+pixels, so ReSTIR spatial reuse stays chip-local (disk radius 5 pixels <<
+tile height) — cross-tile neighbors at the seam behave like image borders.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..render import pathtrace as pt
+from ..scene import camera as cam_mod
+from ..scene import device_scene as dsc
+from ..utils import math as m
+
+
+def make_mesh(n_tile: int | None = None, n_sample: int = 1, devices=None) -> Mesh:
+    """Build a (tile, sample) device mesh; defaults to all devices on the
+    tile axis."""
+    devices = devices if devices is not None else jax.devices()
+    if n_tile is None:
+        n_tile = len(devices) // n_sample
+    dev_array = np.asarray(devices[: n_tile * n_sample]).reshape(n_tile, n_sample)
+    return Mesh(dev_array, axis_names=("tile", "sample"))
+
+
+def _padded_pixel_count(cam: cam_mod.Camera, n_shards: int) -> int:
+    n = cam.width * cam.height
+    return ((n + n_shards - 1) // n_shards) * n_shards
+
+
+def render_frame_sharded(
+    mesh: Mesh,
+    ds: dsc.DeviceScene,
+    cam: cam_mod.Camera,
+    looper,
+    max_depth: int,
+):
+    """One full-PT frame over the mesh.
+
+    Pixels shard over ``tile``; each ``sample``-axis replica traces with a
+    decorrelated Sobol frame counter and the results are pmean'd — so one
+    call yields ``mesh.shape['sample']`` spp.  Returns the [H*W, 3] HDR image
+    (replicated over ``sample``, sharded over ``tile``).
+    """
+    n_tile = mesh.shape["tile"]
+    n_sample = mesh.shape["sample"]
+    n_pad = _padded_pixel_count(cam, n_tile)
+    pixel_idx = jnp.arange(n_pad, dtype=jnp.int32)
+    # out-of-range lanes clamp to the last pixel; dropped on reshape
+    pixel_idx = jnp.minimum(pixel_idx, cam.width * cam.height - 1)
+
+    sample_offset = jnp.arange(n_sample, dtype=jnp.int32)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P("tile"), P("sample")),
+        out_specs=P("tile"),
+    )
+    def tile_fn(ds_rep, cam_rep, idx_shard, my_offset):
+        # decorrelate the sample axis through the Sobol frame counter
+        my_looper = looper + my_offset[0] * 37
+        d, ind = pt.path_trace(ds_rep, cam_rep, my_looper, max_depth, idx_shard)
+        img = d + ind
+        return jax.lax.pmean(img, axis_name="sample")
+
+    out = tile_fn(ds, cam, pixel_idx, sample_offset)
+    return out[: cam.width * cam.height]
+
+
+def render_accumulate_sharded(
+    mesh: Mesh,
+    ds: dsc.DeviceScene,
+    cam: cam_mod.Camera,
+    accum,
+    looper,
+    iteration,
+    max_depth: int,
+):
+    """Full sharded render step: trace + NaN-scrub + HDR compress +
+    running-mean accumulate — the multi-chip "training step" analogue.
+    ``accum`` is the sharded accumulation buffer; returns the new one."""
+    img = render_frame_sharded(mesh, ds, cam, looper, max_depth)
+    img = pt.scrub_and_compress(img)
+    return pt.accumulate(accum, img, iteration)
+
+
+def replicate_scene(mesh: Mesh, ds: dsc.DeviceScene) -> dsc.DeviceScene:
+    """Place every scene array replicated across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), ds)
+
+
+def shard_image(mesh: Mesh, img, cam: cam_mod.Camera):
+    """Place a flat [H*W, ...] image sharded by pixel over the tile axis."""
+    sharding = NamedSharding(mesh, P("tile"))
+    return jax.device_put(img, sharding)

@@ -1,0 +1,325 @@
+"""Denoisers: edge-avoiding à-trous wavelet (EAW) and SVGF.
+
+TPU re-design of ``/root/reference/src/denoiser.cu``:
+* ``waveletFilter`` (EAW, :17-85) and the variance-guided SVGF variant (:92-173)
+* ``temporalAccumulate`` (:208-262), ``estimateVariance`` (:264-299),
+  ``filterVariance`` (:301-328)
+* level drivers ``LeveledEAWFilter::filter`` (:419-434) and
+  ``SpatioTemporalFilter::filter`` (:525-558)
+
+Every stencil is expressed as 25 statically shifted views of [H, W, C] arrays
+(shift + boundary mask), which XLA fuses into a single VPU loop — the natural
+TPU shape for image-space filters.  History double-buffering is functional:
+the SVGF state pytree is returned updated each frame.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from flax import struct
+
+import jax.numpy as jnp
+
+from ..scene import camera as cam_mod
+from ..utils import math as m
+from .gbuffer import NULL_PRIMITIVE, GBufferFrame, GBufferOut, camera_get_position
+
+GAUSSIAN_3X3 = np.array(
+    [[0.075, 0.124, 0.075], [0.124, 0.204, 0.124], [0.075, 0.124, 0.075]],
+    dtype=np.float32,
+)
+
+GAUSSIAN_5X5 = np.array(
+    [
+        [0.0030, 0.0133, 0.0219, 0.0133, 0.0030],
+        [0.0133, 0.0596, 0.0983, 0.0596, 0.0133],
+        [0.0219, 0.0983, 0.1621, 0.0983, 0.0219],
+        [0.0133, 0.0596, 0.0983, 0.0596, 0.0133],
+        [0.0030, 0.0133, 0.0219, 0.0133, 0.0030],
+    ],
+    dtype=np.float32,
+)
+
+
+def _shift(img, dy: int, dx: int):
+    """out[y, x] = img[y + dy, x + dx]; wrapped values must be masked with
+    :func:`_shift_mask`."""
+    return jnp.roll(img, (-dy, -dx), axis=(0, 1))
+
+
+def _shift_mask(h: int, w: int, dy: int, dx: int):
+    yy = jnp.arange(h)[:, None] + dy
+    xx = jnp.arange(w)[None, :] + dx
+    return (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
+
+
+# ---------------------------------------------------------------------------
+# EAW à-trous wavelet (denoiser.cu:17-85)
+# ---------------------------------------------------------------------------
+
+
+def eaw_level(
+    color,  # [H, W, 3]
+    normal,  # [H, W, 3]
+    prim_id,  # [H, W] int32
+    pos,  # [H, W, 3] world positions
+    step: int,
+    sig_depth: float,
+    sig_normal: float,
+    sig_luminance: float,
+):
+    h, w = color.shape[:2]
+    acc = jnp.zeros_like(color)
+    wsum = jnp.zeros((h, w), jnp.float32)
+    for i in range(-2, 3):
+        for j in range(-2, 3):
+            dy, dx = i * step, j * step
+            valid = _shift_mask(h, w, dy, dx)
+            cq = _shift(color, dy, dx)
+            nq = _shift(normal, dy, dx)
+            pq = _shift(pos, dy, dx)
+            iq = _shift(prim_id, dy, dx)
+            valid = valid & (iq == prim_id)
+
+            dc2 = jnp.sum((color - cq) ** 2, axis=-1)
+            w_c = jnp.minimum(1.0, jnp.exp(-dc2 / sig_luminance))
+            dn2 = jnp.sum((normal - nq) ** 2, axis=-1)
+            w_n = jnp.minimum(1.0, jnp.exp(-dn2 / sig_normal))
+            dp2 = jnp.sum((pos - pq) ** 2, axis=-1)
+            w_p = jnp.minimum(1.0, jnp.exp(-dp2 / sig_depth))
+
+            wt = w_c * w_n * w_p * GAUSSIAN_5X5[i + 2, j + 2]
+            wt = jnp.where(valid, wt, 0.0)
+            acc = acc + cq * wt[..., None]
+            wsum = wsum + wt
+    out = jnp.where((wsum > 0.0)[..., None], acc / jnp.maximum(wsum, 1e-12)[..., None], color)
+    # background pixels pass through (denoiser.cu:31-34)
+    return jnp.where((prim_id <= NULL_PRIMITIVE)[..., None], color, out)
+
+
+def leveled_eaw_filter(
+    color_flat,
+    frame: GBufferFrame,
+    cam: cam_mod.Camera,
+    levels: int = 5,
+    sig_depth: float = 64.0,
+    sig_normal: float = 0.2,
+    sig_luminance: float = 1.0,
+):
+    """5-level ping-pong EAW chain — LeveledEAWFilter (denoiser.cu:411-434,
+    sigmas from :413)."""
+    h, w = cam.height, cam.width
+    idx = jnp.arange(h * w, dtype=jnp.int32)
+    pos = camera_get_position(cam, idx % w, idx // w, frame.depth).reshape(h, w, 3)
+    color = color_flat.reshape(h, w, 3)
+    normal = frame.normal.reshape(h, w, 3)
+    prim = frame.prim_id.reshape(h, w)
+    for level in range(levels):
+        color = eaw_level(
+            color, normal, prim, pos, 1 << level, sig_depth, sig_normal, sig_luminance
+        )
+    return color.reshape(-1, 3)
+
+
+def gaussian_filter(color_flat, width: int, height: int):
+    """Plain 5x5 Gaussian blur (the reference GUI's ``Denoiser::Gaussian``
+    option, common.h:38)."""
+    color = color_flat.reshape(height, width, 3)
+    acc = jnp.zeros_like(color)
+    wsum = jnp.zeros((height, width), jnp.float32)
+    for i in range(-2, 3):
+        for j in range(-2, 3):
+            valid = _shift_mask(height, width, i, j)
+            cq = _shift(color, i, j)
+            wt = jnp.where(valid, GAUSSIAN_5X5[i + 2, j + 2], 0.0)
+            acc += cq * wt[..., None]
+            wsum += wt
+    return (acc / wsum[..., None]).reshape(-1, 3)
+
+
+# ---------------------------------------------------------------------------
+# SVGF (denoiser.cu:92-173, 208-328, 436-558)
+# ---------------------------------------------------------------------------
+
+
+@struct.dataclass
+class SVGFState:
+    """Temporal history — accumColor/accumMoment double buffer, functional."""
+
+    accum_color: jnp.ndarray  # f32 [N, 3]
+    accum_moment: jnp.ndarray  # f32 [N, 3] (mean, mean^2, history length)
+
+
+def empty_svgf_state(n: int) -> SVGFState:
+    return SVGFState(
+        accum_color=jnp.zeros((n, 3), jnp.float32),
+        accum_moment=jnp.zeros((n, 3), jnp.float32),
+    )
+
+
+def temporal_accumulate(
+    color_in,
+    state: SVGFState,
+    gbuf: GBufferOut,
+    last_frame: GBufferFrame,
+    first_time: bool,
+):
+    """Exponential history blend with disocclusion reset, alpha = 0.2
+    (temporalAccumulate, denoiser.cu:208-262)."""
+    alpha = 0.2
+    cur = gbuf.frame
+    last_idx = jnp.maximum(gbuf.motion, 0)
+
+    diff = jnp.broadcast_to(jnp.asarray(first_time, bool), color_in.shape[:1])
+    diff = diff | (gbuf.motion < 0)
+    diff |= cur.prim_id <= NULL_PRIMITIVE
+    diff |= last_frame.prim_id[last_idx] != cur.prim_id
+    diff |= m.abs_dot(cur.normal, last_frame.normal[last_idx]) < 0.1
+
+    lum = m.luminance(color_in)
+    last_color = state.accum_color[last_idx]
+    last_moment = state.accum_moment[last_idx]
+
+    blend_color = last_color + (color_in - last_color) * alpha
+    blend_m1 = last_moment[..., 0] * (1 - alpha) + lum * alpha
+    blend_m2 = last_moment[..., 1] * (1 - alpha) + lum * lum * alpha
+    hist = last_moment[..., 2] + 1.0
+
+    color_accum = jnp.where(diff[..., None], color_in, blend_color)
+    moment_accum = jnp.where(
+        diff[..., None],
+        jnp.stack([lum, lum * lum, jnp.zeros_like(lum)], axis=-1),
+        jnp.stack([blend_m1, blend_m2, hist], axis=-1),
+    )
+    return color_accum, moment_accum
+
+
+def estimate_variance(moment_flat, width: int, height: int):
+    """Temporal variance when history > 3.5 frames, else 3x3 spatial moments
+    (estimateVariance, denoiser.cu:264-299)."""
+    moment = moment_flat.reshape(height, width, 3)
+    temporal_var = moment[..., 1] - moment[..., 0] ** 2
+
+    msum = jnp.zeros((height, width, 2), jnp.float32)
+    count = jnp.zeros((height, width), jnp.float32)
+    for i in range(-1, 2):
+        for j in range(-1, 2):
+            valid = _shift_mask(height, width, i, j)
+            mq = _shift(moment[..., :2], i, j)
+            msum += jnp.where(valid[..., None], mq, 0.0)
+            count += valid.astype(jnp.float32)
+    msum = msum / count[..., None]
+    spatial_var = msum[..., 1] - msum[..., 0] ** 2
+
+    var = jnp.where(moment[..., 2] > 3.5, temporal_var, spatial_var)
+    return var.reshape(-1)
+
+
+def filter_variance(var_flat, width: int, height: int):
+    """3x3 Gaussian variance prefilter (filterVariance, denoiser.cu:301-328)."""
+    var = var_flat.reshape(height, width)
+    acc = jnp.zeros_like(var)
+    wsum = jnp.zeros_like(var)
+    for i in range(-1, 2):
+        for j in range(-1, 2):
+            valid = _shift_mask(height, width, i, j)
+            vq = _shift(var, i, j)
+            wt = jnp.where(valid, GAUSSIAN_3X3[i + 1, j + 1], 0.0)
+            acc += vq * wt
+            wsum += wt
+    return (acc / jnp.maximum(wsum, 1e-12)).reshape(-1)
+
+
+def svgf_wavelet_level(
+    color,
+    variance,
+    var_filtered,
+    normal,
+    prim_id,
+    pos,
+    step: int,
+    sig_depth: float,
+    sig_normal: float,
+    sig_luminance: float,
+):
+    """Variance-guided à-trous level, Falcor-style weights
+    (waveletFilter SVGF overload, denoiser.cu:92-173)."""
+    h, w = color.shape[:2]
+    lum_p = m.luminance(color)
+    denom = sig_luminance * jnp.sqrt(jnp.maximum(var_filtered, 0.0)) + 1e-4
+    c_acc = jnp.zeros_like(color)
+    v_acc = jnp.zeros_like(variance)
+    wsum = jnp.zeros((h, w), jnp.float32)
+    w2sum = jnp.zeros((h, w), jnp.float32)
+    for i in range(-2, 3):
+        for j in range(-2, 3):
+            dy, dx = i * step, j * step
+            valid = _shift_mask(h, w, dy, dx)
+            cq = _shift(color, dy, dx)
+            vq = _shift(variance, dy, dx)
+            nq = _shift(normal, dy, dx)
+            pq = _shift(pos, dy, dx)
+
+            dp2 = jnp.sum((pos - pq) ** 2, axis=-1)
+            w_p = jnp.exp(-dp2 / (sig_depth + 1e-4))
+            w_n = jnp.power(jnp.maximum(jnp.sum(normal * nq, axis=-1), 0.0), sig_normal) + 1e-4
+            w_c = jnp.exp(-jnp.abs(lum_p - m.luminance(cq)) / denom) + 1e-4
+
+            wt = jnp.where(valid, w_c * w_n * w_p * GAUSSIAN_5X5[i + 2, j + 2], 0.0)
+            c_acc += cq * wt[..., None]
+            v_acc += vq * wt * wt
+            wsum += wt
+            w2sum += wt * wt
+    eps = 1.1920929e-07
+    out_c = jnp.where((wsum >= eps)[..., None], c_acc / jnp.maximum(wsum, 1e-12)[..., None], color)
+    out_v = jnp.where(w2sum >= eps, v_acc / jnp.maximum(w2sum, 1e-12), variance)
+    keep = (prim_id <= NULL_PRIMITIVE)[..., None]
+    return jnp.where(keep, color, out_c), jnp.where(keep[..., 0], variance, out_v)
+
+
+def svgf_filter(
+    color_in,
+    state: SVGFState,
+    gbuf: GBufferOut,
+    last_frame: GBufferFrame,
+    cam: cam_mod.Camera,
+    first_time: bool,
+    levels: int = 5,
+    sig_depth: float = 4.0,
+    sig_normal: float = 128.0,
+    sig_luminance: float = 1.0,
+):
+    """Full SVGF: temporal accumulate -> variance -> 5 guided wavelet levels
+    (SpatioTemporalFilter::filter, denoiser.cu:525-558; sigmas from :443).
+
+    Returns (filtered color [N, 3], new SVGFState).  Like the reference, the
+    *level-0* filtered color becomes next frame's history (the swap at
+    denoiser.cu:533).
+    """
+    h, w = cam.height, cam.width
+    color_accum, moment_accum = temporal_accumulate(
+        color_in, state, gbuf, last_frame, first_time
+    )
+    variance = estimate_variance(moment_accum, w, h)
+
+    frame = gbuf.frame
+    idx = jnp.arange(h * w, dtype=jnp.int32)
+    pos = camera_get_position(cam, idx % w, idx // w, frame.depth).reshape(h, w, 3)
+    normal = frame.normal.reshape(h, w, 3)
+    prim = frame.prim_id.reshape(h, w)
+
+    color = color_accum.reshape(h, w, 3)
+    var = variance.reshape(h, w)
+    history = None
+    for level in range(levels):
+        var_f = filter_variance(var.reshape(-1), w, h).reshape(h, w)
+        color, var = svgf_wavelet_level(
+            color, var, var_f, normal, prim, pos, 1 << level,
+            sig_depth, sig_normal, sig_luminance,
+        )
+        if level == 0:
+            history = color  # denoiser.cu:533 swap
+    new_state = SVGFState(
+        accum_color=history.reshape(-1, 3), accum_moment=moment_accum
+    )
+    return color.reshape(-1, 3), new_state

@@ -1,0 +1,315 @@
+"""Frame-loop orchestrator: the TPU counterpart of ``runCuda`` + app state.
+
+Mirrors the reference driver (``/root/reference/src/main.cpp:163-202``):
+per frame — optional camera animation, G-buffer render, tracer dispatch
+(ReSTIR / direct / full PT / debug views), optional denoise, accumulate,
+tonemap to a display buffer — but with every pass jitted and all mutable
+state held functionally on the host object.
+
+Whole-frame functions are jitted once per static configuration (tracer kind,
+trace depth, reuse mask, denoiser...) — the analogue of the reference's
+compile-time ``#define`` matrix — and accumulation buffers are donated to
+avoid HBM churn.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Denoiser, ReservoirReuse, RenderState, Settings, ToneMapping, Tracer
+from ..sampling.sobol import SOBOL_SAMPLE_NUM
+from ..scene import camera as cam_mod
+from ..scene.build import load_scene
+from ..scene.image_io import save_image
+from ..utils import math as m
+from ..utils.timing import PassTimer
+from . import denoise as dn
+from . import gbuffer as gb
+from . import pathtrace as pt
+from . import post
+from . import restir as rs
+
+
+class Renderer:
+    """Stateful host-side frame driver around pure jitted passes."""
+
+    def __init__(
+        self,
+        scene_path: str | None = None,
+        ds=None,
+        cam=None,
+        desc=None,
+        settings: Settings | None = None,
+        timing: bool = False,
+    ):
+        if scene_path is not None:
+            ds, cam, desc = load_scene(scene_path)
+        self.ds = ds
+        self.cam = cam
+        self.last_cam = cam
+        self.desc = desc
+        self.settings = settings or (desc.settings if desc else Settings())
+        self.state = desc.state if desc else RenderState()
+        self.timer = PassTimer(enabled=timing)
+
+        n = cam.width * cam.height
+        self.n_pixels = n
+        self.direct = jnp.zeros((n, 3), jnp.float32)
+        self.indirect = jnp.zeros((n, 3), jnp.float32)
+        self.gbuf_last = gb.empty_frame(n)
+        self.gbuf = None
+        self.reservoir = rs.empty_reservoir(n)
+        self.svgf_direct = dn.empty_svgf_state(n)
+        self.svgf_indirect = dn.empty_svgf_state(n)
+        self.first_frame = True
+        self._orig_cam_pos = np.asarray(cam.position)
+        self._time = 0.0
+        self._fns = {}
+
+    # ------------------------------------------------------------------
+    # jitted pass builders (cached per static config)
+    # ------------------------------------------------------------------
+
+    def _get(self, key, builder):
+        if key not in self._fns:
+            self._fns[key] = builder()
+        return self._fns[key]
+
+    def _gbuffer_fn(self):
+        return self._get(
+            "gbuffer",
+            lambda: jax.jit(gb.render_gbuffer),
+        )
+
+    def _pt_full_fn(self, max_depth):
+        def run(ds, cam, looper, direct, indirect, iteration):
+            d, ind = pt.path_trace(ds, cam, looper, max_depth)
+            d = pt.scrub_and_compress(d)
+            ind = pt.scrub_and_compress(ind)
+            return (
+                pt.accumulate(direct, d, iteration),
+                pt.accumulate(indirect, ind, iteration),
+            )
+
+        return self._get(
+            ("pt_full", max_depth),
+            lambda: jax.jit(run, donate_argnums=(3, 4)),
+        )
+
+    def _pt_direct_fn(self):
+        def run(ds, cam, looper, direct, iteration):
+            d = pt.path_trace_direct(ds, cam, looper)
+            d = pt.scrub_and_compress(d)
+            return pt.accumulate(direct, d, iteration)
+
+        return self._get("pt_direct", lambda: jax.jit(run, donate_argnums=(3,)))
+
+    def _restir_fn(self, reuse, reservoir_size, clamp):
+        def run(ds, cam, looper, gbuf, last_frame, last_res, first, direct, iteration):
+            d, res_out = rs.restir_direct(
+                ds, cam, looper, gbuf, last_frame, last_res, first,
+                reuse, reservoir_size, clamp,
+            )
+            d = pt.scrub_and_compress(d)
+            return pt.accumulate(direct, d, iteration), res_out
+
+        return self._get(
+            ("restir", reuse, reservoir_size, clamp),
+            lambda: jax.jit(run, donate_argnums=(7,)),
+        )
+
+    def _display_fn(self, tone):
+        return self._get(
+            ("display", tone),
+            lambda: jax.jit(partial(post.to_display, tone_mapping=tone)),
+        )
+
+    # ------------------------------------------------------------------
+    # frame loop
+    # ------------------------------------------------------------------
+
+    def reset_accumulation(self):
+        self.state.iteration = 0
+
+    def update_camera(self, **kwargs):
+        """Mutate camera parameters (position/rotation/...) and reset
+        accumulation — the State::camChanged path (main.cpp:177-182)."""
+        cam = self.cam
+        for k, v in kwargs.items():
+            cam = cam.replace(**{k: jnp.asarray(v, jnp.float32)})
+        self.cam = cam_mod.update_camera(cam)
+        self._orig_cam_pos = np.asarray(self.cam.position)
+        self.reset_accumulation()
+
+    def _animate_camera(self, dt: float = 1.0 / 60.0):
+        s = self.settings
+        self._time += dt * s.animate_speed
+        offset = np.array(
+            [np.cos(self._time), 0.0, np.sin(self._time)], np.float32
+        ) * s.animate_radius
+        self.cam = cam_mod.update_camera(
+            self.cam.replace(position=jnp.asarray(self._orig_cam_pos + offset))
+        )
+        self.reset_accumulation()
+
+    def step(self):
+        """Render one frame; returns the uint8 display image [H, W, 3]."""
+        s = self.settings
+        st = self.state
+        if s.animate_camera:
+            self._animate_camera()
+        if not s.accumulate:
+            self.reset_accumulation()
+
+        with self.timer.time("gbuffer"):
+            self.gbuf = self._gbuffer_fn()(self.ds, self.cam, self.last_cam)
+            jax.block_until_ready(self.gbuf) if self.timer.enabled else None
+
+        if s.tracer == Tracer.RESTIR_DI or s.use_reservoir:
+            fn = self._restir_fn(s.reservoir_reuse, s.reservoir_size, s.temporal_clamp)
+            with self.timer.time("restir"):
+                self.direct, self.reservoir = fn(
+                    self.ds, self.cam, st.looper, self.gbuf, self.gbuf_last,
+                    self.reservoir, jnp.asarray(self.first_frame),
+                    self.direct, st.iteration,
+                )
+                jax.block_until_ready(self.direct) if self.timer.enabled else None
+            image = self.direct
+        elif s.tracer == Tracer.BVH_VISUALIZE:
+            image = self._bvh_heatmap()
+        elif s.tracer == Tracer.GBUFFER_PREVIEW:
+            image = self.gbuf.albedo
+        elif s.tracer in (Tracer.STREAMED, Tracer.SINGLE_KERNEL):
+            fn = self._pt_full_fn(s.trace_depth)
+            with self.timer.time("pathtrace"):
+                self.direct, self.indirect = fn(
+                    self.ds, self.cam, st.looper,
+                    self.direct, self.indirect, st.iteration,
+                )
+                jax.block_until_ready(self.direct) if self.timer.enabled else None
+            image = post.add_image(self.direct, self.indirect)
+        else:  # direct-only tracer (the reference demo loop default)
+            fn = self._pt_direct_fn()
+            with self.timer.time("pt_direct"):
+                self.direct = fn(
+                    self.ds, self.cam, st.looper, self.direct, st.iteration
+                )
+                jax.block_until_ready(self.direct) if self.timer.enabled else None
+            image = self.direct
+
+        image = self._apply_denoiser(image)
+
+        with self.timer.time("display"):
+            disp = self._display_fn(s.tone_mapping)(
+                image.reshape(self.cam.height, self.cam.width, 3)
+            )
+
+        # frame bookkeeping (main.cpp:199-200, pathtrace.cu:380-384)
+        st.iteration += 1
+        st.looper = (st.looper + 1) % SOBOL_SAMPLE_NUM
+        self.last_cam = self.cam
+        self.gbuf_last = self.gbuf.frame
+        self.first_frame = False
+        return np.asarray(disp)
+
+    def _apply_denoiser(self, image):
+        s = self.settings
+        if s.denoiser == Denoiser.NONE or self.gbuf is None:
+            return image
+        if s.denoiser == Denoiser.GAUSSIAN:
+            fn = self._get(
+                "gaussian",
+                lambda: jax.jit(
+                    partial(
+                        dn.gaussian_filter,
+                        width=self.cam.width,
+                        height=self.cam.height,
+                    )
+                ),
+            )
+            with self.timer.time("denoise"):
+                return fn(image)
+        if s.denoiser == Denoiser.EA_WAVELET:
+            fn = self._get(
+                "eaw", lambda: jax.jit(dn.leveled_eaw_filter, static_argnames=())
+            )
+            with self.timer.time("denoise"):
+                out = fn(image, self.gbuf.frame, self.cam)
+            if s.modulate:
+                out = post.modulate_albedo(out, self.gbuf.albedo)
+            return out
+        if s.denoiser == Denoiser.SVGF:
+            fn = self._get(
+                ("svgf", s.svgf_levels),
+                lambda: jax.jit(dn.svgf_filter, static_argnames=("levels",)),
+            )
+            with self.timer.time("denoise"):
+                out, self.svgf_direct = fn(
+                    image, self.svgf_direct, self.gbuf, self.gbuf_last,
+                    self.cam, jnp.asarray(self.first_frame),
+                    levels=s.svgf_levels,
+                )
+            if s.modulate:
+                out = post.modulate_albedo(out, self.gbuf.albedo)
+            return out
+        return image
+
+    def _bvh_heatmap(self):
+        from ..accel import traverse as trv
+
+        def run(ds, cam):
+            n = cam.width * cam.height
+            idx = jnp.arange(n, dtype=jnp.int32)
+            ray_o, ray_d = cam_mod.pinhole_rays(cam, idx % cam.width, idx // cam.width)
+            steps = trv.intersect_bvh_heatmap(
+                ds.tri_v, ds.bounds_min, ds.bounds_max,
+                ds.bvh_prim, ds.bvh_aabb, ds.bvh_miss, ray_o, ray_d,
+            )
+            t = steps.astype(jnp.float32) / jnp.maximum(
+                jnp.max(steps).astype(jnp.float32), 1.0
+            )
+            return jnp.stack([t, 1.0 - t, jnp.zeros_like(t)], axis=-1)
+
+        fn = self._get("bvh_heatmap", lambda: jax.jit(run))
+        return fn(self.ds, self.cam)
+
+    # ------------------------------------------------------------------
+    # offline rendering + saving
+    # ------------------------------------------------------------------
+
+    def render(self, spp: int | None = None, verbose: bool = False):
+        """Accumulate ``spp`` frames; returns the HDR accumulation [H, W, 3]."""
+        spp = spp or self.state.iterations
+        for i in range(spp):
+            self.step()
+            if verbose and (i + 1) % 16 == 0:
+                print(f"  [{i + 1}/{spp} spp]")
+        img = self.current_image()
+        return np.asarray(img).reshape(self.cam.height, self.cam.width, 3)
+
+    def current_image(self):
+        s = self.settings
+        if s.tracer in (Tracer.STREAMED, Tracer.SINGLE_KERNEL) and not s.use_reservoir:
+            return post.add_image(self.direct, self.indirect)
+        return self.direct
+
+    def save(self, path: str | None = None, jpg: bool = False) -> str:
+        """Tonemap + gamma + save, X-mirrored like the reference
+        (``saveImage``, main.cpp:122-161); filename embeds time + spp."""
+        img = self.current_image().reshape(self.cam.height, self.cam.width, 3)
+        disp = post.tonemap(img, self.settings.tone_mapping)
+        disp = m.gamma_correction(disp)
+        out = np.asarray(jnp.clip(disp, 0.0, 1.0))[:, ::-1]  # mirror X
+        if path is None:
+            stamp = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+            ext = "jpg" if jpg else "png"
+            path = f"{self.state.image_name}.{stamp}.{self.state.iteration}samp.{ext}"
+        save_image(path, out)
+        return os.path.abspath(path)

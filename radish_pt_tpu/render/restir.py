@@ -1,0 +1,301 @@
+"""ReSTIR direct illumination: RIS + temporal + spatial reservoir reuse.
+
+TPU re-design of ``ReSTIRDirectKernel`` + ``Reservoir<T>``
+(``/root/reference/src/restir.cu:97-233``, ``restir.h:10-101``).  Reservoir
+state is SoA image-shaped arrays (no structs); each stage — candidate RIS,
+visibility, temporal merge, spatial merge, shading — is its own pure function
+over the whole wavefront.  The spatial pass reads a *completed* post-temporal
+reservoir image, which structurally fixes the reference's block-level
+``__syncthreads`` race (restir.cu:177-181: only one 8x8 block is synced, so
+cross-block neighbors could be read before they were written).
+
+Weighted-reservoir-sampling update uses the standard condition
+``rand * totalWeight < newWeight``; the reference's ``Reservoir::update``
+(restir.h:21) tests the *truthiness* of a float instead — a bug SURVEY.md
+flags — while its ``merge`` (restir.h:51-58) is correct.  We use the correct
+rule everywhere.
+"""
+
+from __future__ import annotations
+
+from flax import struct
+
+import jax.numpy as jnp
+
+from ..bsdf import materials as bsdf
+from ..scene import camera as cam_mod
+from ..scene import device_scene as dsc
+from ..sampling import rng
+from ..utils import math as m
+from .gbuffer import NULL_PRIMITIVE, GBufferFrame, GBufferOut
+
+
+@struct.dataclass
+class DirectReservoir:
+    """Per-pixel light-sample reservoir — SoA of ``Reservoir<LightLiSample>``
+    (restir.h:90-101)."""
+
+    li: jnp.ndarray  # f32 [N, 3] candidate radiance
+    wi: jnp.ndarray  # f32 [N, 3] direction to the light
+    dist: jnp.ndarray  # f32 [N] distance to the light sample
+    num: jnp.ndarray  # f32 [N] effective sample count M
+    weight: jnp.ndarray  # f32 [N] sum of RIS weights
+
+
+def empty_reservoir(n: int) -> DirectReservoir:
+    z = jnp.zeros((n,), jnp.float32)
+    z3 = jnp.zeros((n, 3), jnp.float32)
+    return DirectReservoir(li=z3, wi=z3, dist=z, num=z, weight=z)
+
+
+def _update(res: DirectReservoir, li, wi, dist, w, rand) -> DirectReservoir:
+    """WRS update (correct rule; cf. restir.h:17-24)."""
+    weight = res.weight + w
+    num = res.num + 1.0
+    take = rand * weight < w
+    return DirectReservoir(
+        li=jnp.where(take[..., None], li, res.li),
+        wi=jnp.where(take[..., None], wi, res.wi),
+        dist=jnp.where(take, dist, res.dist),
+        num=num,
+        weight=weight,
+    )
+
+
+def _merge(res: DirectReservoir, rhs: DirectReservoir, rand, enable) -> DirectReservoir:
+    """Reservoir merge (restir.h:51-58), masked by ``enable``."""
+    weight = res.weight + rhs.weight
+    num = res.num + rhs.num
+    take = enable & (rand * weight < rhs.weight)
+    return DirectReservoir(
+        li=jnp.where(take[..., None], rhs.li, res.li),
+        wi=jnp.where(take[..., None], rhs.wi, res.wi),
+        dist=jnp.where(take, rhs.dist, res.dist),
+        num=jnp.where(enable, num, res.num),
+        weight=jnp.where(enable, weight, res.weight),
+    )
+
+
+def _pre_clamped_merge(res, rhs, rand, enable, clamp: int):
+    """preClampedMerge<M>: clamp rhs history to (M-1)x ours before merging
+    (restir.h:70-78)."""
+    scale = jnp.where(
+        (rhs.num > (clamp - 1) * res.num) & (res.num > 0) & (rhs.num > 0),
+        (clamp - 1) * res.num / jnp.maximum(rhs.num, 1e-12),
+        1.0,
+    )
+    rhs = rhs.replace(weight=rhs.weight * scale, num=rhs.num * scale)
+    return _merge(res, rhs, rand, enable)
+
+
+def _invalid(res: DirectReservoir):
+    return ~jnp.isfinite(res.weight) | (res.weight < 0.0)
+
+
+def _check_validity(res: DirectReservoir) -> DirectReservoir:
+    bad = _invalid(res)
+    return res.replace(
+        weight=jnp.where(bad, 0.0, res.weight), num=jnp.where(bad, 0.0, res.num)
+    )
+
+
+def _p_hat(res: DirectReservoir, mat, norm, wo):
+    """Target function p^ = Li * f * cos (restir.h:31-35)."""
+    f = bsdf.bsdf_eval(mat, norm, wo, res.wi)
+    return res.li * f * m.sat_dot(norm, res.wi)[..., None]
+
+
+def _big_w(res: DirectReservoir, p_hat_vec):
+    """Unbiased contribution weight W (restir.h:37-40); toScalar = length."""
+    scalar = m.length(p_hat_vec)
+    return res.weight / jnp.maximum(scalar * res.num, 1e-12)
+
+
+def _gather(res: DirectReservoir, idx) -> DirectReservoir:
+    return DirectReservoir(
+        li=res.li[idx],
+        wi=res.wi[idx],
+        dist=res.dist[idx],
+        num=res.num[idx],
+        weight=res.weight[idx],
+    )
+
+
+def _mask_empty(res: DirectReservoir, valid) -> DirectReservoir:
+    """Replace invalid lanes with an empty reservoir (the T() default the
+    reference returns from neighbor finders)."""
+    return DirectReservoir(
+        li=jnp.where(valid[..., None], res.li, 0.0),
+        wi=jnp.where(valid[..., None], res.wi, 0.0),
+        dist=jnp.where(valid, res.dist, 0.0),
+        num=jnp.where(valid, res.num, 0.0),
+        weight=jnp.where(valid, res.weight, 0.0),
+    )
+
+
+def find_temporal_neighbor(
+    reservoir: DirectReservoir,
+    motion,
+    cur: GBufferFrame,
+    last: GBufferFrame,
+) -> DirectReservoir:
+    """Gather last-frame reservoirs via motion indices with geometric
+    validation (findTemporalNeighbor, restir.cu:20-40)."""
+    last_idx = jnp.maximum(motion, 0)
+    ok = (motion >= 0) & (cur.prim_id > NULL_PRIMITIVE)
+    ok &= last.prim_id[last_idx] == cur.prim_id
+    ok &= m.abs_dot(cur.normal, last.normal[last_idx]) >= 0.1
+    return _mask_empty(_gather(reservoir, last_idx), ok)
+
+
+def _spatial_neighbor(
+    temp: DirectReservoir,
+    x,
+    y,
+    width: int,
+    height: int,
+    cur: GBufferFrame,
+    rand2,
+):
+    """One disk-sampled spatial neighbor with geometry tests
+    (findSpatialNeighborDisk, restir.cu:43-80)."""
+    radius = 5.0
+    p = m.concentric_sample_disk(rand2[..., 0], rand2[..., 1]) * radius
+    px = (x.astype(jnp.float32) + 0.5 + p[..., 0]).astype(jnp.int32)
+    py = (y.astype(jnp.float32) + 0.5 + p[..., 1]).astype(jnp.int32)
+    idx = y * width + x
+    p_idx = jnp.clip(py * width + px, 0, width * height - 1)
+
+    ok = (px >= 0) & (px < width) & (py >= 0) & (py < height)
+    ok &= ~((px == x) & (py == y))
+    ok &= cur.prim_id[p_idx] == cur.prim_id[idx]
+    ok &= m.dot(cur.normal[p_idx], cur.normal[idx]) >= 0.1
+    depth = cur.depth[idx]
+    ok &= jnp.abs(cur.depth[p_idx] - depth) <= depth * 0.1
+    return _mask_empty(_gather(temp, p_idx), ok)
+
+
+def merge_spatial(
+    temp: DirectReservoir,
+    cur: GBufferFrame,
+    width: int,
+    height: int,
+    sampler,
+    table,
+    num_neighbors: int = 5,
+):
+    """Merge 5 disk neighbors from the COMPLETED post-temporal reservoir image
+    (mergeSpatialNeighborDirect, restir.cu:82-95) — a separate pass, so every
+    neighbor value is from this frame, fixing the reference's sync bug."""
+    n = temp.weight.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    x = idx % width
+    y = idx // width
+    out = empty_reservoir(n)
+    for _ in range(num_neighbors):
+        r2, sampler = rng.sample_2d(table, sampler)
+        nb = _spatial_neighbor(temp, x, y, width, height, cur, r2)
+        r1, sampler = rng.sample_1d(table, sampler)
+        out = _merge(out, nb, r1, ~_invalid(nb) & (nb.num > 0))
+    return out, sampler
+
+
+def restir_direct(
+    ds: dsc.DeviceScene,
+    cam: cam_mod.Camera,
+    looper,
+    gbuf: GBufferOut,
+    last_frame: GBufferFrame,
+    last_reservoir: DirectReservoir,
+    first_frame,  # traced bool scalar
+    reuse: int,
+    reservoir_size: int = 32,
+    temporal_clamp: int = 20,
+):
+    """Full ReSTIR DI pass (ReSTIRDirectKernel, restir.cu:97-203).
+
+    Returns (direct [N, 3] demodulated * gbuffer-albedo, reservoir_out) where
+    ``reservoir_out`` is the post-temporal (pre-spatial) reservoir fed to the
+    next frame, like the reference's ``tempReservoir`` (restir.cu:173,186-187).
+    """
+    from ..config import ReservoirReuse
+    from .pathtrace import _gen_primary
+
+    n = cam.width * cam.height
+    idx = jnp.arange(n, dtype=jnp.int32)
+    sampler = rng.make_sampler(looper, idx)
+    table = ds.sobol
+
+    ray_o, ray_d, sampler = _gen_primary(ds, cam, sampler)
+    it = dsc.intersect(ds, ray_o, ray_d)
+    hit = it.prim_id != NULL_PRIMITIVE
+
+    direct = jnp.where(hit[..., None], 0.0, dsc.env_radiance(ds, ray_d))
+
+    mat, norm = dsc.get_textured_material(ds, it.mat_id, it.uv, it.norm)
+    # demodulate: shade with white albedo; gbuffer albedo re-modulates at the
+    # end (restir.cu:125,200)
+    mat = mat.replace(base_color=jnp.ones_like(mat.base_color))
+    is_light = hit & (mat.mtype == dsc.MAT_LIGHT)
+    direct += jnp.where(is_light[..., None], mat.base_color, 0.0)
+
+    wo = -ray_d
+    is_delta = mat.mtype == dsc.MAT_DIELECTRIC
+    flip = (~is_delta) & (m.dot(norm, wo) < 0.0)
+    norm = jnp.where(flip[..., None], -norm, norm)
+
+    shade = hit & ~is_light
+
+    # ---- candidate RIS over `reservoir_size` no-visibility light samples ----
+    res = empty_reservoir(n)
+    for _ in range(reservoir_size):
+        r4, sampler = rng.sample_4d(table, sampler)
+        li, wi, dist, pdf = dsc.sample_direct_light_no_vis(ds, it.pos, r4)
+        f = bsdf.bsdf_eval(mat, norm, wo, wi)
+        p_hat = li * f * m.sat_dot(norm, wi)[..., None]
+        w = m.length(p_hat) / jnp.maximum(pdf, 1e-12)
+        w = jnp.where(jnp.isfinite(w) & (pdf > 0.0), w, 0.0)
+        r1, sampler = rng.sample_1d(table, sampler)
+        res = _update(res, li, wi, dist, w, r1)
+
+    # ---- single visibility test on the winner (restir.cu:158-163) ----
+    target = it.pos + res.wi * res.dist[..., None]
+    occluded = dsc.test_occlusion(ds, it.pos, target)
+    res = res.replace(weight=jnp.where(occluded, 0.0, res.weight))
+
+    # ---- temporal reuse (first_frame is traced: no recompile across frames) ----
+    if reuse & ReservoirReuse.TEMPORAL:
+        temporal = find_temporal_neighbor(
+            last_reservoir, gbuf.motion, gbuf.frame, last_frame
+        )
+        r1, sampler = rng.sample_1d(table, sampler)
+        ok = (
+            ~_invalid(temporal)
+            & (temporal.num > 0)
+            & ~jnp.asarray(first_frame, bool)
+        )
+        res = _pre_clamped_merge(res, temporal, r1, ok, temporal_clamp)
+
+    reservoir_out = _check_validity(res)
+
+    # ---- spatial reuse on the completed post-temporal image ----
+    if reuse & ReservoirReuse.SPATIAL:
+        spatial, sampler = merge_spatial(
+            reservoir_out, gbuf.frame, cam.width, cam.height, sampler, table
+        )
+        r1, sampler = rng.sample_1d(table, sampler)
+        ok = ~_invalid(spatial) & (spatial.num > 0) & ~_invalid(res)
+        res = _merge(res, spatial, r1, ok)
+
+    # ---- shade (restir.cu:189-194) ----
+    p_hat = _p_hat(res, mat, norm, wo)
+    w_big = _big_w(res, p_hat)
+    contrib = p_hat * w_big[..., None]
+    ok = shade & ~_invalid(res) & (res.num > 0)
+    contrib = jnp.where(ok[..., None], contrib, 0.0)
+    bad = jnp.any(~jnp.isfinite(contrib), axis=-1, keepdims=True)
+    direct = direct + jnp.where(bad, 0.0, contrib)
+
+    # re-modulate with gbuffer albedo (restir.cu:200)
+    direct = direct * gbuf.albedo
+    return direct, reservoir_out

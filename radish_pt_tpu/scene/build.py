@@ -1,0 +1,197 @@
+"""Host-side scene build: flatten instances, extract lights, build alias
+tables + BVH, and assemble the :class:`DeviceScene` pytree.
+
+Counterpart of ``Scene::buildDevData`` + ``DevScene::create``
+(``/root/reference/src/scene.cpp:190-249,461-551``) — but producing SoA jnp
+arrays instead of cudaMemcpy'd pointers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..accel.bvh import build_bvh
+from ..sampling.alias import build_alias_table
+from ..sampling.sobol import load_sobol_table
+from ..utils.math import luminance
+from .camera import Camera, make_camera
+from .device_scene import MAT_LIGHT, NULL_TEXTURE, DeviceScene, pack_textures
+from .parser import SceneDesc
+
+# Below this triangle count a brute-force all-pairs test beats the tree walk
+# on TPU (dense [N, T] VPU work vs gather-heavy traversal).
+BRUTE_FORCE_MAX_TRIS = 128
+
+
+def _luminance_np(c: np.ndarray) -> np.ndarray:
+    return 0.2126 * c[..., 0] + 0.7152 * c[..., 1] + 0.0722 * c[..., 2]
+
+
+def build_device_scene(
+    scene: SceneDesc,
+    use_sobol: bool = True,
+    force_bvh: bool | None = None,
+) -> tuple[DeviceScene, Camera]:
+    """Build the device scene pytree + camera from a parsed scene."""
+    verts, norms, uvs, mat_ids = [], [], [], []
+    light_prims, light_radiance, light_power = [], [], []
+
+    prim_base = 0
+    for inst in scene.instances:
+        mesh = inst.mesh
+        M = inst.transform
+        nrm_mat = np.linalg.inv(M[:3, :3]).T
+
+        v = mesh.vertices @ M[:3, :3].T + M[:3, 3]
+        n = mesh.normals @ nrm_mat.T
+        n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+        verts.append(v.astype(np.float32))
+        norms.append(n.astype(np.float32))
+        uvs.append(mesh.texcoords.astype(np.float32))
+
+        t = mesh.num_triangles
+        mat_ids.append(np.full(t, inst.material_id, np.int32))
+
+        mat = scene.materials[inst.material_id]
+        if mat.mtype == MAT_LIGHT:
+            # every light triangle is an emitter record (scene.cpp:204-219)
+            tv = v.reshape(-1, 3, 3)
+            area = (
+                np.linalg.norm(
+                    np.cross(tv[:, 1] - tv[:, 0], tv[:, 2] - tv[:, 0]), axis=-1
+                )
+                * 0.5
+            )
+            rad = np.asarray(mat.base_color, np.float32)
+            power_unit = float(_luminance_np(rad)) * 2.0 * np.pi
+            for k in range(t):
+                light_prims.append(prim_base + k)
+                light_radiance.append(rad)
+                light_power.append(power_unit * float(area[k]))
+        prim_base += t
+
+    if prim_base == 0:
+        raise ValueError("No mesh data loaded")
+
+    tri_v = np.concatenate(verts).reshape(-1, 3, 3)
+    tri_n = np.concatenate(norms).reshape(-1, 3, 3)
+    tri_uv = np.concatenate(uvs).reshape(-1, 3, 2)
+    material_ids = np.concatenate(mat_ids)
+
+    # ---- light + env samplers (createLightSampler, scene.cpp:145-169) ----
+    has_env = scene.env_tex_id != NULL_TEXTURE
+    env_prob = np.ones(1, np.float32)
+    env_alias = np.zeros(1, np.int32)
+    light_weights = list(light_power)
+    if has_env:
+        env_img = scene.textures[scene.env_tex_id]
+        h, w = env_img.shape[:2]
+        sin_theta = np.sin((0.5 + np.arange(h)) / h * np.pi).astype(np.float32)
+        env_pdf = _luminance_np(env_img) * sin_theta[:, None]
+        env_table = build_alias_table(env_pdf.reshape(-1))
+        env_prob, env_alias = env_table.prob, env_table.alias
+        light_weights.append(env_table.total)
+
+    n_area_lights = len(light_prims)
+    if light_weights:
+        light_table = build_alias_table(np.asarray(light_weights, np.float64))
+        sum_power_inv = 1.0 / max(light_table.total, 1e-12)
+        la_prob, la_idx = light_table.prob, light_table.alias
+    else:
+        sum_power_inv = 0.0
+        la_prob = np.ones(1, np.float32)
+        la_idx = np.zeros(1, np.int32)
+
+    # ---- aperture sampler (createApertureSampler, scene.cpp:171-188) ----
+    has_aperture = scene.aperture_tex_id != NULL_TEXTURE
+    ap_prob = np.ones(1, np.float32)
+    ap_idx = np.zeros(1, np.int32)
+    if has_aperture:
+        ap_img = scene.textures[scene.aperture_tex_id]
+        ap_table = build_alias_table(_luminance_np(ap_img).reshape(-1))
+        ap_prob, ap_idx = ap_table.prob, ap_table.alias
+
+    # ---- BVH ----
+    num_tris = tri_v.shape[0]
+    use_bvh = num_tris > BRUTE_FORCE_MAX_TRIS if force_bvh is None else force_bvh
+    bvh = build_bvh(tri_v.reshape(-1, 3))
+
+    # ---- textures ----
+    tex_data, tex_off, tex_w, tex_h = pack_textures(scene.textures)
+
+    # ---- materials SoA ----
+    from .parser import HostMaterial
+
+    mats = scene.materials if scene.materials else [HostMaterial()]
+
+    ds = DeviceScene(
+        use_bvh=use_bvh,
+        n_area_lights=n_area_lights,
+        has_env=has_env,
+        has_aperture=has_aperture,
+        single_sided=scene.settings.scene_light_single_sided,
+        tri_v=jnp.asarray(tri_v),
+        tri_n=jnp.asarray(tri_n),
+        tri_uv=jnp.asarray(tri_uv),
+        material_ids=jnp.asarray(material_ids),
+        bounds_min=jnp.asarray(bvh.bounds_min),
+        bounds_max=jnp.asarray(bvh.bounds_max),
+        bvh_prim=jnp.asarray(bvh.prim_id.reshape(-1)),
+        bvh_aabb=jnp.asarray(bvh.aabb_id.reshape(-1)),
+        bvh_miss=jnp.asarray(bvh.miss.reshape(-1)),
+        mat_type=jnp.asarray([m.mtype for m in mats], jnp.int32),
+        mat_base_color=jnp.asarray([m.base_color for m in mats], jnp.float32),
+        mat_metallic=jnp.asarray([m.metallic for m in mats], jnp.float32),
+        mat_roughness=jnp.asarray([m.roughness for m in mats], jnp.float32),
+        mat_ior=jnp.asarray([m.ior for m in mats], jnp.float32),
+        mat_color_map=jnp.asarray([m.color_map for m in mats], jnp.int32),
+        mat_normal_map=jnp.asarray([m.normal_map for m in mats], jnp.int32),
+        mat_metallic_map=jnp.asarray([m.metallic_map for m in mats], jnp.int32),
+        mat_roughness_map=jnp.asarray([m.roughness_map for m in mats], jnp.int32),
+        tex_data=jnp.asarray(tex_data),
+        tex_offset=jnp.asarray(tex_off),
+        tex_width=jnp.asarray(tex_w),
+        tex_height=jnp.asarray(tex_h),
+        env_tex=int(scene.env_tex_id),
+        aperture_tex=int(scene.aperture_tex_id),
+        light_prim_ids=jnp.asarray(
+            np.asarray(light_prims, np.int32)
+            if light_prims
+            else np.zeros(1, np.int32)
+        ),
+        light_radiance=jnp.asarray(
+            np.asarray(light_radiance, np.float32).reshape(-1, 3)
+            if light_radiance
+            else np.zeros((1, 3), np.float32)
+        ),
+        sum_light_power_inv=jnp.float32(sum_power_inv),
+        light_alias_prob=jnp.asarray(la_prob),
+        light_alias_idx=jnp.asarray(la_idx),
+        env_alias_prob=jnp.asarray(env_prob),
+        env_alias_idx=jnp.asarray(env_alias),
+        aperture_alias_prob=jnp.asarray(ap_prob),
+        aperture_alias_idx=jnp.asarray(ap_idx),
+        sobol=jnp.asarray(load_sobol_table()) if use_sobol else None,
+    )
+
+    cam = make_camera(
+        scene.width,
+        scene.height,
+        scene.cam_position,
+        scene.cam_rotation,
+        fov_y=scene.fov_y,
+        lens_radius=scene.lens_radius,
+        focal_dist=scene.focal_dist,
+    )
+    return ds, cam
+
+
+def load_scene(path: str, **kwargs):
+    """Parse + build in one call; returns (DeviceScene, Camera, SceneDesc)."""
+    from .parser import parse_scene
+
+    desc = parse_scene(path)
+    ds, cam = build_device_scene(desc, use_sobol=desc.settings.use_sobol, **kwargs)
+    return ds, cam, desc

@@ -1,0 +1,453 @@
+"""DeviceScene: the on-device scene mirror as a pytree of SoA arrays.
+
+TPU re-design of the reference's ``DevScene`` (``/root/reference/src/scene.h:73-518``).
+Where the reference owns raw CUDA pointers and per-thread methods, here the
+scene is an immutable pytree of ``jnp`` arrays (geometry soup, 6-way threaded
+BVH, material SoA, one big texture atlas, light tables, alias samplers, Sobol
+table) and every "method" is a pure, wavefront-batched function.
+
+Conventions:
+* ``[N]`` = wavefront lanes (rays/pixels); ``[T]`` triangles; ``[B]`` BVH
+  nodes; ``[M]`` materials; ``[L]`` area lights (+1 alias slot for the env
+  map, like the reference's light sampler — scene.h:424-427).
+* Lights are single-sided toward their geometric normal when
+  ``single_sided`` is set.  NOTE: the reference's NEE and emissive-hit tests
+  disagree about which side emits (scene.h:444-448 vs pathtrace.cu:252-256);
+  we use one consistent convention: a light emits into the half-space its
+  geometric normal points into.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from flax import struct
+
+import jax.numpy as jnp
+
+from ..accel import traverse as trv
+from ..sampling.alias import alias_sample
+from ..utils import math as m
+
+NULL_TEXTURE = -1
+PROCEDURAL_TEXTURE = -2
+INVALID_PDF = -1.0
+
+MAT_LAMBERTIAN = 0
+MAT_METALLIC_WORKFLOW = 1
+MAT_DIELECTRIC = 2
+MAT_DISNEY = 3  # parsed but shaded as metallic workflow (reference never implements Disney either)
+MAT_LIGHT = 4
+
+MATERIAL_TYPE_TOKENS = {
+    "Lambertian": MAT_LAMBERTIAN,
+    "MetallicWorkflow": MAT_METALLIC_WORKFLOW,
+    "Dielectric": MAT_DIELECTRIC,
+    "Disney": MAT_DISNEY,
+    "Light": MAT_LIGHT,
+}
+
+
+@struct.dataclass
+class DeviceScene:
+    # --- static metadata (compile-time) ---
+    use_bvh: bool = struct.field(pytree_node=False, default=True)
+    n_area_lights: int = struct.field(pytree_node=False, default=0)
+    has_env: bool = struct.field(pytree_node=False, default=False)
+    has_aperture: bool = struct.field(pytree_node=False, default=False)
+    single_sided: bool = struct.field(pytree_node=False, default=True)
+
+    # --- geometry soup (DevScene::vertices/normals/texcoords, scene.h:494-496) ---
+    tri_v: jnp.ndarray = None  # f32 [T, 3, 3]
+    tri_n: jnp.ndarray = None  # f32 [T, 3, 3]
+    tri_uv: jnp.ndarray = None  # f32 [T, 3, 2]
+    material_ids: jnp.ndarray = None  # i32 [T]
+
+    # --- MTBVH (scene.h:497-499) ---
+    bounds_min: jnp.ndarray = None  # f32 [B, 3]
+    bounds_max: jnp.ndarray = None  # f32 [B, 3]
+    bvh_prim: jnp.ndarray = None  # i32 [6*B]
+    bvh_aabb: jnp.ndarray = None  # i32 [6*B]
+    bvh_miss: jnp.ndarray = None  # i32 [6*B]
+
+    # --- materials SoA (Material struct, material.h:276-286) ---
+    mat_type: jnp.ndarray = None  # i32 [M]
+    mat_base_color: jnp.ndarray = None  # f32 [M, 3]
+    mat_metallic: jnp.ndarray = None  # f32 [M]
+    mat_roughness: jnp.ndarray = None  # f32 [M]
+    mat_ior: jnp.ndarray = None  # f32 [M]
+    mat_color_map: jnp.ndarray = None  # i32 [M]
+    mat_normal_map: jnp.ndarray = None  # i32 [M]
+    mat_metallic_map: jnp.ndarray = None  # i32 [M]
+    mat_roughness_map: jnp.ndarray = None  # i32 [M]
+
+    # --- texture atlas (DevScene::textureData + DevTextureObj views) ---
+    tex_data: jnp.ndarray = None  # f32 [P, 3]
+    tex_offset: jnp.ndarray = None  # i32 [K]
+    tex_width: jnp.ndarray = None  # i32 [K]
+    tex_height: jnp.ndarray = None  # i32 [K]
+    env_tex: int = struct.field(pytree_node=False, default=NULL_TEXTURE)
+    aperture_tex: int = struct.field(pytree_node=False, default=NULL_TEXTURE)
+
+    # --- light tables (scene.h:506-512) ---
+    light_prim_ids: jnp.ndarray = None  # i32 [L]
+    light_radiance: jnp.ndarray = None  # f32 [L, 3]
+    sum_light_power_inv: jnp.ndarray = None  # f32 scalar
+    light_alias_prob: jnp.ndarray = None  # f32 [L(+1 env)]
+    light_alias_idx: jnp.ndarray = None  # i32
+    env_alias_prob: jnp.ndarray = None  # f32 [envW*envH] (or [1])
+    env_alias_idx: jnp.ndarray = None  # i32
+    aperture_alias_prob: jnp.ndarray = None  # f32
+    aperture_alias_idx: jnp.ndarray = None  # i32
+
+    # --- samplers ---
+    sobol: jnp.ndarray = None  # u32 [SobolSampleNum * SobolSampleDim]
+
+    @property
+    def num_triangles(self) -> int:
+        return self.tri_v.shape[0]
+
+    @property
+    def has_lights(self) -> bool:
+        """True when the light sampler is non-empty (area lights or env)."""
+        return self.n_area_lights > 0 or self.has_env
+
+
+# ---------------------------------------------------------------------------
+# textures
+# ---------------------------------------------------------------------------
+
+
+def _texture_bilinear(ds: DeviceScene, tex_id, uv):
+    """Bilinear texture fetch with wraparound — DevTextureObj::linearSample
+    (image.h:42-73).  ``tex_id`` int32 [N] (must be valid), uv f32 [N, 2]."""
+    w = ds.tex_width[tex_id]
+    h = ds.tex_height[tex_id]
+    off = ds.tex_offset[tex_id]
+    fx = uv[..., 0] * w.astype(jnp.float32) - 0.5
+    fy = uv[..., 1] * h.astype(jnp.float32) - 0.5
+    ix = jnp.floor(fx).astype(jnp.int32)
+    iy = jnp.floor(fy).astype(jnp.int32)
+    tx = fx - ix.astype(jnp.float32)
+    ty = fy - iy.astype(jnp.float32)
+
+    def wrap(i, n):
+        return jnp.mod(jnp.mod(i, n) + n, n)
+
+    x0 = wrap(ix, w)
+    x1 = wrap(ix + 1, w)
+    y0 = wrap(iy, h)
+    y1 = wrap(iy + 1, h)
+    c00 = ds.tex_data[off + y0 * w + x0]
+    c10 = ds.tex_data[off + y0 * w + x1]
+    c01 = ds.tex_data[off + y1 * w + x0]
+    c11 = ds.tex_data[off + y1 * w + x1]
+    cx0 = c00 * (1 - tx)[..., None] + c10 * tx[..., None]
+    cx1 = c01 * (1 - tx)[..., None] + c11 * tx[..., None]
+    return cx0 * (1 - ty)[..., None] + cx1 * ty[..., None]
+
+
+def procedural_texture(uv):
+    """Checker-ish procedural pattern — DevScene::proceduralTexture
+    (scene.h:77-86), with the thrust RNG replaced by utilhash."""
+    cell = (uv[..., 0] * 1024).astype(jnp.int32) * 1024 + (
+        uv[..., 1] * 1024
+    ).astype(jnp.int32)
+    h1 = m.utilhash(cell.astype(jnp.uint32))
+    h2 = m.utilhash(h1)
+    rx = h1.astype(jnp.float32) * jnp.float32(2.0**-32)
+    ry = h2.astype(jnp.float32) * jnp.float32(2.0**-32)
+    f = (jnp.sin(uv[..., 0] * 10.0 * m.TWO_PI + rx * m.TWO_PI) + 1.0) * 0.5
+    g = (jnp.sin(uv[..., 1] * 10.0 * m.TWO_PI + ry * m.TWO_PI) + 1.0) * 0.5
+    return jnp.repeat((f * g)[..., None], 3, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# surface interaction
+# ---------------------------------------------------------------------------
+
+
+@struct.dataclass
+class Interaction:
+    prim_id: jnp.ndarray  # i32 [N], NULL_PRIMITIVE on miss
+    mat_id: jnp.ndarray  # i32 [N]
+    pos: jnp.ndarray  # f32 [N, 3]
+    norm: jnp.ndarray  # f32 [N, 3] (shading normal)
+    uv: jnp.ndarray  # f32 [N, 2]
+
+
+@struct.dataclass
+class SurfaceMaterial:
+    """Per-lane material parameters after texture fetches
+    (getTexturedMaterialAndSurface, scene.h:88-112)."""
+
+    mtype: jnp.ndarray  # i32 [N]
+    base_color: jnp.ndarray  # f32 [N, 3]
+    metallic: jnp.ndarray  # f32 [N]
+    roughness: jnp.ndarray  # f32 [N]
+    ior: jnp.ndarray  # f32 [N]
+
+
+def surface_info(ds: DeviceScene, prim_id, bary) -> tuple:
+    """Interpolate position/normal/uv from barycentrics —
+    ``getIntersecGeomInfo`` (scene.h:147-165)."""
+    p = jnp.maximum(prim_id, 0)
+    v = ds.tri_v[p]
+    n = ds.tri_n[p]
+    uv = ds.tri_uv[p]
+    bx = bary[..., 0:1]
+    by = bary[..., 1:2]
+    bw = 1.0 - bx - by
+    pos = v[:, 1] * bx + v[:, 2] * by + v[:, 0] * bw
+    norm = m.normalize(n[:, 1] * bx + n[:, 2] * by + n[:, 0] * bw)
+    uvi = uv[:, 1] * bx + uv[:, 2] * by + uv[:, 0] * bw
+    return pos, norm, uvi
+
+
+def intersect(ds: DeviceScene, ray_o, ray_d) -> Interaction:
+    """Closest hit + surface interpolation (DevScene::intersect, scene.h:262-301).
+    Static switch between brute force (tiny scenes) and MTBVH traversal."""
+    if ds.use_bvh:
+        prim, dist, bary = trv.intersect_bvh(
+            ds.tri_v, ds.bounds_min, ds.bounds_max,
+            ds.bvh_prim, ds.bvh_aabb, ds.bvh_miss, ray_o, ray_d,
+        )
+    else:
+        prim, dist, bary = trv.intersect_brute(ds.tri_v, ray_o, ray_d)
+    pos, norm, uv = surface_info(ds, prim, bary)
+    mat_id = ds.material_ids[jnp.maximum(prim, 0)]
+    mat_id = jnp.where(prim >= 0, mat_id, -1)
+    return Interaction(prim_id=prim, mat_id=mat_id, pos=pos, norm=norm, uv=uv)
+
+
+def test_occlusion(ds: DeviceScene, x, y):
+    """True where segment x->y is blocked (testOcclusion, scene.h:303-334)."""
+    if ds.use_bvh:
+        return trv.occlusion_bvh(
+            ds.tri_v, ds.bounds_min, ds.bounds_max,
+            ds.bvh_prim, ds.bvh_aabb, ds.bvh_miss, x, y,
+        )
+    return trv.occlusion_brute(ds.tri_v, x, y)
+
+
+def get_textured_material(ds: DeviceScene, mat_id, uv, norm):
+    """Fetch material params with texture/normal maps applied
+    (getTexturedMaterialAndSurface, scene.h:88-112).
+
+    Returns (SurfaceMaterial, shading normal).
+    """
+    mid = jnp.maximum(mat_id, 0)
+    base = ds.mat_base_color[mid]
+    metallic = ds.mat_metallic[mid]
+    roughness = ds.mat_roughness[mid]
+    ior = ds.mat_ior[mid]
+    mtype = ds.mat_type[mid]
+
+    cmap = ds.mat_color_map[mid]
+    use_tex = cmap > NULL_TEXTURE
+    use_proc = cmap == PROCEDURAL_TEXTURE
+    if ds.tex_offset.shape[0] > 0:
+        tex_col = _texture_bilinear(ds, jnp.maximum(cmap, 0), uv)
+    else:
+        tex_col = base
+    base = jnp.where(use_proc[..., None], procedural_texture(uv), jnp.where(use_tex[..., None], tex_col, base))
+
+    if ds.tex_offset.shape[0] > 0:
+        mmap = ds.mat_metallic_map[mid]
+        metallic = jnp.where(
+            mmap > NULL_TEXTURE,
+            _texture_bilinear(ds, jnp.maximum(mmap, 0), uv)[..., 0],
+            metallic,
+        )
+        rmap = ds.mat_roughness_map[mid]
+        roughness = jnp.where(
+            rmap > NULL_TEXTURE,
+            _texture_bilinear(ds, jnp.maximum(rmap, 0), uv)[..., 0],
+            roughness,
+        )
+        nmap = ds.mat_normal_map[mid]
+        mapped = _texture_bilinear(ds, jnp.maximum(nmap, 0), uv)
+        local_n = m.normalize(mapped - 0.5)
+        norm = jnp.where(
+            (nmap > NULL_TEXTURE)[..., None], m.local_to_world(norm, local_n), norm
+        )
+
+    return (
+        SurfaceMaterial(
+            mtype=mtype, base_color=base, metallic=metallic,
+            roughness=roughness, ior=ior,
+        ),
+        norm,
+    )
+
+
+# ---------------------------------------------------------------------------
+# environment map
+# ---------------------------------------------------------------------------
+
+
+def env_radiance(ds: DeviceScene, dir):
+    """Env-map radiance for a direction (equirect; pathtrace.cu:233-236)."""
+    if not ds.has_env:
+        return jnp.zeros(dir.shape[:-1] + (3,), jnp.float32)
+    uv = m.to_plane(dir)
+    tex_id = jnp.full(dir.shape[:-1], ds.env_tex, jnp.int32)
+    return _texture_bilinear(ds, tex_id, uv)
+
+
+def env_map_pdf(ds: DeviceScene, wi):
+    """Solid-angle pdf of the env-map light sampler in direction wi.
+
+    Consistent formula lum * W * H / (sumPower * 2 pi^2) — the reference uses
+    this in ``sampleEnvironmentMap`` (scene.h:397-398) but drops the 1/pi^2 in
+    ``environmentMapPdf`` (scene.h:374-378); we use the consistent one for
+    both NEE and MIS.
+    """
+    rad = env_radiance(ds, wi)
+    w = ds.tex_width[ds.env_tex].astype(jnp.float32)
+    h = ds.tex_height[ds.env_tex].astype(jnp.float32)
+    return (
+        m.luminance(rad) * ds.sum_light_power_inv * w * h * (m.INV_PI * m.INV_PI) * 0.5
+    )
+
+
+def _sample_env_map(ds: DeviceScene, r2):
+    """Alias-sample the env map; returns (radiance, wi, pdf_solid_angle)
+    (sampleEnvMapNoVisbility, scene.h:401-414)."""
+    pix = alias_sample(ds.env_alias_prob, ds.env_alias_idx, r2[..., 0], r2[..., 1])
+    w = ds.tex_width[ds.env_tex]
+    h = ds.tex_height[ds.env_tex]
+    y = pix // w
+    x = pix - y * w
+    radiance = ds.tex_data[ds.tex_offset[ds.env_tex] + pix]
+    uv = jnp.stack(
+        [
+            (x.astype(jnp.float32) + 0.5) / w.astype(jnp.float32),
+            (y.astype(jnp.float32) + 0.5) / h.astype(jnp.float32),
+        ],
+        axis=-1,
+    )
+    wi = m.to_sphere(uv)
+    pdf = (
+        m.luminance(radiance)
+        * ds.sum_light_power_inv
+        * w.astype(jnp.float32)
+        * h.astype(jnp.float32)
+        * (m.INV_PI * m.INV_PI)
+        * 0.5
+    )
+    return radiance, wi, pdf
+
+
+# ---------------------------------------------------------------------------
+# direct-light sampling
+# ---------------------------------------------------------------------------
+
+
+def sample_direct_light_no_vis(ds: DeviceScene, pos, r4):
+    """One light sample per lane WITHOUT visibility — counterpart of
+    ``sampleDirectLightNoVisibility`` (scene.h:458-492).
+
+    Returns (radiance [N,3], wi [N,3], dist [N], pdf [N]).  pdf <= 0 marks an
+    invalid sample (INVALID_PDF).  The area-light pdf uses the consistent
+    power-proportional form: pdf_area = lum * 2pi / sumPower (constant across
+    prims of equal radiance because power is proportional to area) — see the
+    module docstring for the reference deviation note.
+    """
+    n_lanes = pos.shape[0]
+    zero3 = jnp.zeros((n_lanes, 3), jnp.float32)
+    if not ds.has_lights:
+        return zero3, zero3, jnp.zeros(n_lanes), jnp.full(n_lanes, INVALID_PDF)
+
+    light_id = alias_sample(
+        ds.light_alias_prob, ds.light_alias_idx, r4[..., 0], r4[..., 1]
+    )
+    num_area = ds.n_area_lights
+
+    # --- area light branch ---
+    if num_area > 0:
+        lid = jnp.clip(light_id, 0, num_area - 1)
+        prim = ds.light_prim_ids[lid]
+        v = ds.tri_v[prim]
+        sampled = m.sample_triangle_uniform(
+            v[:, 0], v[:, 1], v[:, 2], r4[..., 2], r4[..., 3]
+        )
+        normal = m.triangle_normal(v[:, 0], v[:, 1], v[:, 2])
+        radiance = ds.light_radiance[lid]
+        to_sampled = sampled - pos
+        dist = m.length(to_sampled)
+        wi = to_sampled / jnp.maximum(dist, 1e-12)[..., None]
+        pdf_area = m.luminance(radiance) * (2.0 * m.PI) * ds.sum_light_power_inv
+        pdf = m.pdf_area_to_solid_angle(pdf_area, pos, sampled, normal)
+        if ds.single_sided:
+            # emits into the half-space of its geometric normal
+            facing = m.dot(normal, -wi) > 1e-6
+            pdf = jnp.where(facing, pdf, INVALID_PDF)
+    else:
+        radiance, wi = zero3, zero3
+        dist = jnp.zeros(n_lanes)
+        pdf = jnp.full(n_lanes, INVALID_PDF)
+
+    # --- env branch (last sampler slot, scene.h:426-427) ---
+    if ds.has_env:
+        env_rad, env_wi, env_pdf = _sample_env_map(
+            ds, jnp.stack([r4[..., 2], r4[..., 3]], axis=-1)
+        )
+        is_env = light_id == num_area
+        radiance = jnp.where(is_env[..., None], env_rad, radiance)
+        wi = jnp.where(is_env[..., None], env_wi, wi)
+        dist = jnp.where(is_env, 1e6, dist)
+        pdf = jnp.where(is_env, env_pdf, pdf)
+
+    return radiance, wi, dist, pdf
+
+
+def sample_direct_light(ds: DeviceScene, pos, r4):
+    """Light sample WITH a shadow test (sampleDirectLight, scene.h:419-456).
+    Returns (radiance, wi, pdf); pdf <= 0 when invalid or occluded."""
+    radiance, wi, dist, pdf = sample_direct_light_no_vis(ds, pos, r4)
+    target = pos + wi * dist[..., None]
+    occ = test_occlusion(ds, pos, target)
+    pdf = jnp.where(occ, INVALID_PDF, pdf)
+    return radiance, wi, pdf
+
+
+def area_light_hit_pdf(ds: DeviceScene, radiance, prev_pos, hit_pos, hit_norm):
+    """Solid-angle pdf that NEE would have assigned to an emissive hit —
+    used for the MIS weight on BSDF paths (pathtrace.cu:260-268), with the
+    consistent pdf_area = lum * 2pi / sumPower."""
+    pdf_area = m.luminance(radiance) * (2.0 * m.PI) * ds.sum_light_power_inv
+    return m.pdf_area_to_solid_angle(pdf_area, prev_pos, hit_pos, hit_norm)
+
+
+# ---------------------------------------------------------------------------
+# host-side assembly helper
+# ---------------------------------------------------------------------------
+
+
+def pack_textures(images: list[np.ndarray]):
+    """Concatenate [H,W,3] float images into one flat [P,3] atlas + meta."""
+    if not images:
+        return (
+            np.zeros((1, 3), np.float32),
+            np.zeros((0,), np.int32),
+            np.zeros((0,), np.int32),
+            np.zeros((0,), np.int32),
+        )
+    data = []
+    offsets = []
+    widths = []
+    heights = []
+    off = 0
+    for img in images:
+        h, w = img.shape[:2]
+        data.append(img.reshape(-1, 3).astype(np.float32))
+        offsets.append(off)
+        widths.append(w)
+        heights.append(h)
+        off += h * w
+    return (
+        np.concatenate(data, axis=0),
+        np.asarray(offsets, np.int32),
+        np.asarray(widths, np.int32),
+        np.asarray(heights, np.int32),
+    )
