@@ -117,6 +117,9 @@ def intersect_brute(tri_v, ray_o, ray_d, chunk: int = 2048):
     Returns (prim_id [N] int32, dist [N], bary [N, 2]).
     """
     num_tris = tri_v.shape[0]
+    # don't pad tiny scenes up to a full chunk (Cornell = 36 tris would waste
+    # 57x work at chunk 2048); round to the 8-sublane granule instead
+    chunk = min(chunk, max(8, -(-num_tris // 8) * 8))
     num_chunks = max(1, -(-num_tris // chunk))
     pad = num_chunks * chunk - num_tris
     tv = jnp.pad(tri_v, ((0, pad), (0, 0), (0, 0)))

@@ -37,8 +37,16 @@ from ..utils import math as m
 
 def make_mesh(n_tile: int | None = None, n_sample: int = 1, devices=None) -> Mesh:
     """Build a (tile, sample) device mesh; defaults to all devices on the
-    tile axis."""
-    devices = devices if devices is not None else jax.devices()
+    tile axis.  Falls back to virtual CPU devices
+    (--xla_force_host_platform_device_count) when the default backend has too
+    few chips — the standard way to dry-run multi-chip sharding."""
+    if devices is None:
+        devices = jax.devices()
+        need = (n_tile or 1) * n_sample
+        if len(devices) < need:
+            cpu = jax.devices("cpu")
+            if len(cpu) >= need:
+                devices = cpu
     if n_tile is None:
         n_tile = len(devices) // n_sample
     dev_array = np.asarray(devices[: n_tile * n_sample]).reshape(n_tile, n_sample)

@@ -22,6 +22,7 @@ Deviations from the reference (documented, intentional):
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..bsdf import materials as bsdf
@@ -117,7 +118,14 @@ def path_trace(
     wo = -ray_d
     pos = it.pos
 
-    for depth in range(1, max_depth + 1):
+    def bounce(depth, carry):
+        """One bounce of the reference loop (pathtrace.cu:187-272).  A
+        ``fori_loop`` body instead of an unrolled chain keeps the compiled
+        graph (and TPU compile time) independent of trace depth."""
+        (sampler, active, throughput, direct, indirect,
+         pos, norm, ray_d, mat) = carry
+        wo = -ray_d
+
         is_delta_bsdf = mat.mtype == dsc.MAT_DIELECTRIC
         # two-sided shading for non-delta materials (pathtrace.cu:190-193)
         flip = (~is_delta_bsdf) & (m.dot(norm, wo) < 0.0)
@@ -137,10 +145,10 @@ def path_trace(
             * (m.sat_dot(norm, wi) / jnp.maximum(light_pdf, 1e-12) * mis_w)[..., None]
         )
         contrib = jnp.where(nee_ok[..., None], contrib, 0.0)
-        if depth == 1:
-            direct += contrib
-        else:
-            indirect += contrib
+        # first-vertex NEE -> direct, the rest -> indirect (pathtrace.cu:203)
+        is_first = depth == 1
+        direct = direct + jnp.where(is_first, contrib, 0.0)
+        indirect = indirect + jnp.where(is_first, 0.0, contrib)
 
         # ---- BSDF sample (pathtrace.cu:210-223) ----
         r3, sampler = rng.sample_3d(ds.sobol, sampler)
@@ -158,7 +166,6 @@ def path_trace(
         ray_d = samp.dir
         ray_o = prev_pos + ray_d * 1e-5
         it = dsc.intersect(ds, ray_o, ray_d)
-        wo = -ray_d
         pos = it.pos
 
         miss = active & (it.prim_id == NULL_PRIMITIVE)
@@ -167,7 +174,7 @@ def path_trace(
             w_env = jnp.where(
                 delta_sample, 1.0, m.power_heuristic(samp.pdf, env_pdf)
             )
-            indirect += jnp.where(
+            indirect = indirect + jnp.where(
                 miss[..., None],
                 dsc.env_radiance(ds, ray_d) * throughput * w_env[..., None],
                 0.0,
@@ -183,13 +190,19 @@ def path_trace(
         w_light = jnp.where(
             delta_sample, 1.0, m.power_heuristic(samp.pdf, light_pdf_hit)
         )
-        indirect += jnp.where(
+        indirect = indirect + jnp.where(
             (hit_light & light_vis)[..., None],
             mat.base_color * throughput * w_light[..., None],
             0.0,
         )
         active = active & ~hit_light
+        return (sampler, active, throughput, direct, indirect,
+                pos, norm, ray_d, mat)
 
+    carry = (sampler, active, throughput, direct, indirect,
+             pos, norm, ray_d, mat)
+    carry = jax.lax.fori_loop(1, max_depth + 1, bounce, carry)
+    direct, indirect = carry[3], carry[4]
     return direct, indirect
 
 

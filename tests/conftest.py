@@ -17,6 +17,15 @@ from radish_pt_tpu.utils.cache import enable_persistent_cache  # noqa: E402
 
 enable_persistent_cache()
 
+# The axon TPU plugin ignores JAX_PLATFORMS=cpu and keeps the tunneled TPU as
+# the default backend; pin the default device to CPU so tests are hermetic.
+import jax  # noqa: E402
+
+try:
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
+except RuntimeError:
+    pass
+
 SCENES = os.path.join(os.path.dirname(__file__), "..", "scenes")
 
 
