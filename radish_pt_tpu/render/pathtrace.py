@@ -97,10 +97,12 @@ def path_trace(
     n = idx.shape[0]
     sampler = rng.make_sampler(looper, idx)
 
-    direct = jnp.zeros((n, 3), jnp.float32)
-    indirect = jnp.zeros((n, 3), jnp.float32)
-
     ray_o, ray_d, sampler = _gen_primary(ds, cam, sampler, idx)
+    # derive from ray state so the buffers inherit shard_map varying axes
+    # (plain zeros would be replicated constants and fail the fori carry check)
+    direct = ray_d * 0.0
+    indirect = ray_d * 0.0
+
     it = dsc.intersect(ds, ray_o, ray_d)
 
     hit = it.prim_id != NULL_PRIMITIVE
@@ -114,7 +116,7 @@ def path_trace(
     )
 
     active = hit & ~is_light
-    throughput = jnp.ones((n, 3), jnp.float32)
+    throughput = ray_d * 0.0 + 1.0
     wo = -ray_d
     pos = it.pos
 

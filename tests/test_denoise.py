@@ -1,0 +1,132 @@
+"""Denoiser unit tests: EAW/SVGF invariants on synthetic images."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from radish_pt_tpu.render import denoise as dn
+from radish_pt_tpu.render import gbuffer as gb
+from radish_pt_tpu.scene.camera import make_camera
+
+H = W = 16
+N = H * W
+
+
+def flat_frame(prim=1):
+    return gb.GBufferFrame(
+        normal=jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (N, 3)),
+        prim_id=jnp.full((N,), prim, jnp.int32),
+        depth=jnp.full((N,), 5.0),
+    )
+
+
+def cam16():
+    return make_camera(W, H, (0, 0, 0), (-90, 0, 0), fov_y=20.0)
+
+
+def test_eaw_preserves_constant_image():
+    color = jnp.broadcast_to(jnp.array([0.3, 0.5, 0.7]), (N, 3))
+    out = dn.leveled_eaw_filter(color, flat_frame(), cam16())
+    np.testing.assert_allclose(np.asarray(out), np.asarray(color), atol=1e-5)
+
+
+def test_eaw_smooths_noise():
+    rng = np.random.default_rng(0)
+    noisy = jnp.asarray(0.5 + 0.2 * rng.standard_normal((N, 3)), jnp.float32)
+    out = np.asarray(dn.leveled_eaw_filter(noisy, flat_frame(), cam16()))
+    assert out.std() < np.asarray(noisy).std() * 0.4
+    # mean approximately preserved
+    assert abs(out.mean() - float(noisy.mean())) < 0.02
+
+
+def test_eaw_respects_id_edges():
+    """No bleeding across material-id boundaries (EAW skips mismatched ids,
+    denoiser.cu:58-60)."""
+    color = np.zeros((H, W, 3), np.float32)
+    color[:, W // 2 :] = 1.0
+    prim = np.ones((H, W), np.int32)
+    prim[:, W // 2 :] = 2
+    frame = flat_frame().replace(prim_id=jnp.asarray(prim.reshape(-1)))
+    out = np.asarray(
+        dn.leveled_eaw_filter(jnp.asarray(color.reshape(-1, 3)), frame, cam16())
+    ).reshape(H, W, 3)
+    np.testing.assert_allclose(out[:, : W // 2], 0.0, atol=1e-6)
+    np.testing.assert_allclose(out[:, W // 2 :], 1.0, atol=1e-6)
+
+
+def test_eaw_passthrough_background():
+    """Pixels with primId <= NullPrimitive are untouched (denoiser.cu:31-34)."""
+    rng = np.random.default_rng(1)
+    noisy = jnp.asarray(rng.random((N, 3)), jnp.float32)
+    frame = flat_frame(prim=-1)
+    out = dn.leveled_eaw_filter(noisy, frame, cam16())
+    np.testing.assert_allclose(np.asarray(out), np.asarray(noisy), atol=1e-6)
+
+
+def test_gaussian_filter_constant():
+    color = jnp.broadcast_to(jnp.array([0.2, 0.4, 0.6]), (N, 3))
+    out = dn.gaussian_filter(color, W, H)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(color), atol=1e-5)
+
+
+def _gbuf_static():
+    frame = flat_frame()
+    return gb.GBufferOut(
+        frame=frame,
+        albedo=jnp.ones((N, 3)),
+        motion=jnp.arange(N, dtype=jnp.int32),  # identity motion
+    )
+
+
+def test_svgf_temporal_accumulate_blend():
+    state = dn.SVGFState(
+        accum_color=jnp.full((N, 3), 1.0),
+        accum_moment=jnp.concatenate(
+            [jnp.full((N, 2), 0.5), jnp.full((N, 1), 5.0)], axis=-1
+        ),
+    )
+    color = jnp.zeros((N, 3))
+    out_c, out_m = dn.temporal_accumulate(
+        color, state, _gbuf_static(), flat_frame(), first_time=False
+    )
+    # alpha = 0.2: 0.8 * 1.0 + 0.2 * 0.0
+    np.testing.assert_allclose(np.asarray(out_c), 0.8, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_m)[:, 2], 6.0)  # history + 1
+
+
+def test_svgf_temporal_reset_on_first():
+    state = dn.empty_svgf_state(N)
+    color = jnp.full((N, 3), 0.25)
+    out_c, out_m = dn.temporal_accumulate(
+        color, state, _gbuf_static(), flat_frame(), first_time=True
+    )
+    np.testing.assert_allclose(np.asarray(out_c), 0.25)
+    np.testing.assert_allclose(np.asarray(out_m)[:, 2], 0.0)  # history reset
+
+
+def test_svgf_variance_modes():
+    # long history -> temporal variance m2 - m1^2
+    mom = jnp.concatenate(
+        [jnp.full((N, 1), 0.5), jnp.full((N, 1), 0.35), jnp.full((N, 1), 10.0)],
+        axis=-1,
+    )
+    var = np.asarray(dn.estimate_variance(mom, W, H))
+    np.testing.assert_allclose(var, 0.35 - 0.25, atol=1e-6)
+    # short history -> spatial estimate (uniform moments -> same value)
+    mom2 = mom.at[:, 2].set(1.0)
+    var2 = np.asarray(dn.estimate_variance(mom2, W, H))
+    np.testing.assert_allclose(var2, 0.35 - 0.25, atol=1e-5)
+
+
+def test_svgf_filter_runs_and_reduces_noise():
+    rng = np.random.default_rng(2)
+    noisy = jnp.asarray(0.5 + 0.3 * rng.standard_normal((N, 3)), jnp.float32)
+    state = dn.empty_svgf_state(N)
+    out, new_state = dn.svgf_filter(
+        noisy, state, _gbuf_static(), flat_frame(), cam16(), first_time=True
+    )
+    out = np.asarray(out)
+    assert np.isfinite(out).all()
+    assert out.std() < np.asarray(noisy).std() * 0.6
+    assert new_state.accum_color.shape == (N, 3)

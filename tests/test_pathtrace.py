@@ -1,0 +1,124 @@
+"""Path-tracer integration tests on the Cornell box + furnace test."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from radish_pt_tpu.render import pathtrace as pt
+
+
+@pytest.fixture(scope="module")
+def traced(cornell):
+    ds, cam, _ = cornell
+    f = jax.jit(pt.path_trace, static_argnames=("max_depth",))
+    d, ind = f(ds, cam, 0, 3)
+    return np.asarray(d), np.asarray(ind), cam
+
+
+def test_renders_finite_nonzero(traced):
+    d, ind, cam = traced
+    img = d + ind
+    assert np.isfinite(img).all()
+    assert img.mean() > 0.05
+    assert (img >= 0).all()
+
+
+def test_light_pixels_bright(traced):
+    d, ind, cam = traced
+    img = (d + ind).reshape(cam.height, cam.width, 3)
+    # ceiling light around image top-center; its radiance is 40
+    top = img[: cam.height // 5, cam.width // 3 : 2 * cam.width // 3]
+    assert top.max() > 10.0
+
+
+def test_indirect_color_bleed(traced):
+    """Indirect illumination exists and carries wall colors."""
+    d, ind, cam = traced
+    assert ind.mean() > 0.005
+    # red and green channels differ spatially (bleed from colored walls)
+    ind_img = ind.reshape(cam.height, cam.width, 3)
+    left = ind_img[:, : cam.width // 4]
+    right = ind_img[:, 3 * cam.width // 4 :]
+    # right wall is green in scene space: ruv flip puts +X (green) at image
+    # left pre-mirror; just require asymmetry between the halves
+    assert abs(float(left[..., 0].mean() - right[..., 0].mean())) > 1e-4
+
+
+def test_accumulation_reduces_variance(cornell):
+    ds, cam, _ = cornell
+    f = jax.jit(pt.path_trace, static_argnames=("max_depth",))
+    accum = jnp.zeros((cam.width * cam.height, 3))
+    singles = []
+    for i in range(4):
+        d, ind = f(ds, cam, i, 2)
+        img = pt.scrub_and_compress(d + ind)
+        singles.append(np.asarray(img))
+        accum = pt.accumulate(accum, img, i)
+    accum = np.asarray(accum)
+    np.testing.assert_allclose(accum, np.mean(singles, axis=0), atol=1e-5)
+
+
+def test_direct_only_no_bleed(cornell):
+    """path_trace_direct: single bounce — no indirect component at all."""
+    ds, cam, _ = cornell
+    d = np.asarray(jax.jit(pt.path_trace_direct)(ds, cam, 0))
+    assert np.isfinite(d).all()
+    assert d.mean() > 0.01
+
+
+def test_furnace_env_constant(cornell):
+    """White furnace: constant env map, no lights, white Lambertian box ->
+    every pixel converges to the env radiance (energy conservation of the
+    full transport loop)."""
+    ds, cam, _ = cornell
+    n_env = 8
+    env = np.full((n_env, n_env, 3), 0.5, np.float32)
+    from radish_pt_tpu.sampling.alias import build_alias_table
+
+    sin_t = np.sin((0.5 + np.arange(n_env)) / n_env * np.pi)
+    tbl = build_alias_table((0.5 * 3 / 3 * np.ones((n_env, n_env)) * sin_t[:, None]).ravel())
+
+    # single distant-ish white sphere? simplest: empty scene except env:
+    # keep geometry but make all materials white Lambertian and remove lights
+    white = jnp.broadcast_to(jnp.array([1.0, 1.0, 1.0]), ds.mat_base_color.shape)
+    lam = jnp.zeros_like(ds.mat_type)
+    ds2 = ds.replace(
+        mat_base_color=white,
+        mat_type=lam,
+        n_area_lights=0,
+        has_env=True,
+        env_tex=0,
+        tex_data=jnp.asarray(env.reshape(-1, 3)),
+        tex_offset=jnp.array([0], jnp.int32),
+        tex_width=jnp.array([n_env], jnp.int32),
+        tex_height=jnp.array([n_env], jnp.int32),
+        light_alias_prob=jnp.array([1.0]),
+        light_alias_idx=jnp.array([0], jnp.int32),
+        env_alias_prob=jnp.asarray(tbl.prob),
+        env_alias_idx=jnp.asarray(tbl.alias),
+        sum_light_power_inv=jnp.float32(1.0 / tbl.total),
+    )
+    f = jax.jit(pt.path_trace, static_argnames=("max_depth",))
+    acc = 0.0
+    frames = 10
+    for i in range(frames):
+        d, ind = f(ds2, cam, i, 32)
+        acc = acc + np.asarray(d + ind)
+    img = acc / frames
+    # albedo-1.0 paths inside the box survive many bounces, so finite depth
+    # truncates a geometric tail: measured 0.454 @ depth 16, 0.491 @ depth 32
+    # (converging to 0.5 from below). depth 32 within 4% is the energy-
+    # conservation check; a bias bug would overshoot or miss by far more.
+    assert img.mean() == pytest.approx(0.5, rel=0.04), img.mean()
+
+
+def test_bvh_and_brute_render_identically(cornell):
+    """Same cornell frame with use_bvh toggled — the full pipeline oracle."""
+    ds, cam, _ = cornell
+    f = jax.jit(pt.path_trace, static_argnames=("max_depth",))
+    d0, i0 = f(ds.replace(use_bvh=False), cam, 3, 2)
+    d1, i1 = f(ds.replace(use_bvh=True), cam, 3, 2)
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(i0), np.asarray(i1), atol=2e-3)

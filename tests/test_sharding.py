@@ -1,0 +1,73 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh
+(SURVEY.md §4c: pjit/shard_map sharding tests standing in for multi-chip)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from radish_pt_tpu.parallel import sharding as sh
+from radish_pt_tpu.render import pathtrace as pt
+
+
+@pytest.fixture(scope="module")
+def cpu8():
+    devs = jax.devices("cpu")
+    if len(devs) < 8:
+        pytest.skip("needs --xla_force_host_platform_device_count=8")
+    return devs
+
+
+def test_make_mesh_shapes(cpu8):
+    mesh = sh.make_mesh(n_tile=4, n_sample=2, devices=cpu8)
+    assert mesh.shape == {"tile": 4, "sample": 2}
+    mesh2 = sh.make_mesh(devices=cpu8)
+    assert mesh2.shape["tile"] == 8
+
+
+def test_tile_sharded_render_matches_single_device(cornell, cpu8):
+    """8-way tile-sharded frame == single-device frame (bitwise-close):
+    tile parallelism must not change the estimator."""
+    ds, cam, _ = cornell
+    mesh = sh.make_mesh(n_tile=8, n_sample=1, devices=cpu8)
+    ds_r = sh.replicate_scene(mesh, ds)
+
+    out_sharded = np.asarray(sh.render_frame_sharded(mesh, ds_r, cam, 5, max_depth=2))
+
+    with jax.default_device(cpu8[0]):
+        d, ind = jax.jit(pt.path_trace, static_argnames=("max_depth",))(
+            ds, cam, 5, 2
+        )
+        out_single = np.asarray(d + ind)
+
+    np.testing.assert_allclose(out_sharded, out_single, atol=1e-4)
+
+
+def test_sample_axis_averages(cornell, cpu8):
+    """(tile=2, sample=2): pmean over the sample axis equals the average of
+    the two decorrelated single-device frames."""
+    ds, cam, _ = cornell
+    mesh = sh.make_mesh(n_tile=2, n_sample=2, devices=cpu8[:4])
+    ds_r = sh.replicate_scene(mesh, ds)
+    looper = 3
+    out = np.asarray(sh.render_frame_sharded(mesh, ds_r, cam, looper, max_depth=2))
+
+    with jax.default_device(cpu8[0]):
+        f = jax.jit(pt.path_trace, static_argnames=("max_depth",))
+        imgs = []
+        for offset in (0, 37):  # the sample-axis looper decorrelation
+            d, ind = f(ds, cam, looper + offset, 2)
+            imgs.append(np.asarray(d + ind))
+    np.testing.assert_allclose(out, np.mean(imgs, axis=0), atol=1e-4)
+
+
+def test_accumulate_sharded_runs(cornell, cpu8):
+    ds, cam, _ = cornell
+    mesh = sh.make_mesh(n_tile=8, n_sample=1, devices=cpu8)
+    ds_r = sh.replicate_scene(mesh, ds)
+    n_pad = sh._padded_pixel_count(cam, 8)
+    accum = sh.shard_image(mesh, jnp.zeros((cam.width * cam.height, 3)), cam)
+    out = sh.render_accumulate_sharded(mesh, ds_r, cam, accum, 0, 0, max_depth=2)
+    out = np.asarray(out)
+    assert np.isfinite(out).all() and out.mean() > 0.01
