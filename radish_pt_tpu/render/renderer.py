@@ -269,8 +269,7 @@ class Renderer:
             idx = jnp.arange(n, dtype=jnp.int32)
             ray_o, ray_d = cam_mod.pinhole_rays(cam, idx % cam.width, idx // cam.width)
             steps = trv.intersect_bvh_heatmap(
-                ds.tri_v, ds.bounds_min, ds.bounds_max,
-                ds.bvh_prim, ds.bvh_aabb, ds.bvh_miss, ray_o, ray_d,
+                ds.leaf_tris, ds.leaf_map, ds.bvh_packed, ray_o, ray_d
             )
             t = steps.astype(jnp.float32) / jnp.maximum(
                 jnp.max(steps).astype(jnp.float32), 1.0

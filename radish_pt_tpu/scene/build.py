@@ -13,6 +13,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..accel.bvh import build_bvh
+from ..accel.traverse import pack_bvh, pack_tris
 from ..sampling.alias import build_alias_table
 from ..sampling.sobol import load_sobol_table
 from ..utils.math import luminance
@@ -138,9 +139,10 @@ def build_device_scene(
         material_ids=jnp.asarray(material_ids),
         bounds_min=jnp.asarray(bvh.bounds_min),
         bounds_max=jnp.asarray(bvh.bounds_max),
-        bvh_prim=jnp.asarray(bvh.prim_id.reshape(-1)),
-        bvh_aabb=jnp.asarray(bvh.aabb_id.reshape(-1)),
-        bvh_miss=jnp.asarray(bvh.miss.reshape(-1)),
+        bvh_packed=jnp.asarray(pack_bvh(bvh)),
+        tri_packed=jnp.asarray(pack_tris(tri_v)),
+        leaf_tris=jnp.asarray(bvh.leaf_tris),
+        leaf_map=jnp.asarray(bvh.leaf_map),
         mat_type=jnp.asarray([m.mtype for m in mats], jnp.int32),
         mat_base_color=jnp.asarray([m.base_color for m in mats], jnp.float32),
         mat_metallic=jnp.asarray([m.metallic for m in mats], jnp.float32),

@@ -65,9 +65,10 @@ class DeviceScene:
     # --- MTBVH (scene.h:497-499) ---
     bounds_min: jnp.ndarray = None  # f32 [B, 3]
     bounds_max: jnp.ndarray = None  # f32 [B, 3]
-    bvh_prim: jnp.ndarray = None  # i32 [6*B]
-    bvh_aabb: jnp.ndarray = None  # i32 [6*B]
-    bvh_miss: jnp.ndarray = None  # i32 [6*B]
+    bvh_packed: jnp.ndarray = None  # f32 [6*B, 8] packed node table
+    tri_packed: jnp.ndarray = None  # f32 [T, 9] v0/e01/e02 components
+    leaf_tris: jnp.ndarray = None  # f32 [R, L*9] padded leaf-major tris
+    leaf_map: jnp.ndarray = None  # i32 [R*L] leaf slot -> prim id
 
     # --- materials SoA (Material struct, material.h:276-286) ---
     mat_type: jnp.ndarray = None  # i32 [M]
@@ -208,11 +209,10 @@ def intersect(ds: DeviceScene, ray_o, ray_d) -> Interaction:
     Static switch between brute force (tiny scenes) and MTBVH traversal."""
     if ds.use_bvh:
         prim, dist, bary = trv.intersect_bvh(
-            ds.tri_v, ds.bounds_min, ds.bounds_max,
-            ds.bvh_prim, ds.bvh_aabb, ds.bvh_miss, ray_o, ray_d,
+            ds.leaf_tris, ds.leaf_map, ds.bvh_packed, ray_o, ray_d
         )
     else:
-        prim, dist, bary = trv.intersect_brute(ds.tri_v, ray_o, ray_d)
+        prim, dist, bary = trv.intersect_brute(ds.tri_packed, ray_o, ray_d)
     pos, norm, uv = surface_info(ds, prim, bary)
     mat_id = ds.material_ids[jnp.maximum(prim, 0)]
     mat_id = jnp.where(prim >= 0, mat_id, -1)
@@ -222,11 +222,8 @@ def intersect(ds: DeviceScene, ray_o, ray_d) -> Interaction:
 def test_occlusion(ds: DeviceScene, x, y):
     """True where segment x->y is blocked (testOcclusion, scene.h:303-334)."""
     if ds.use_bvh:
-        return trv.occlusion_bvh(
-            ds.tri_v, ds.bounds_min, ds.bounds_max,
-            ds.bvh_prim, ds.bvh_aabb, ds.bvh_miss, x, y,
-        )
-    return trv.occlusion_brute(ds.tri_v, x, y)
+        return trv.occlusion_bvh(ds.leaf_tris, ds.leaf_map, ds.bvh_packed, x, y)
+    return trv.occlusion_brute(ds.tri_packed, x, y)
 
 
 def get_textured_material(ds: DeviceScene, mat_id, uv, norm):

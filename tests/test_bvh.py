@@ -24,30 +24,38 @@ def soup():
 
 @pytest.fixture(scope="module")
 def bvh(soup):
-    return build_bvh(soup)
+    return build_bvh(soup, leaf_size=4)
 
 
 def test_bvh_layout_invariants(soup, bvh):
     t = soup.shape[0] // 3
-    assert bvh.size == 2 * t - 1
+    # every primitive appears exactly once across the leaf map
+    mapped = bvh.leaf_map[bvh.leaf_map != NULL_PRIMITIVE]
+    assert sorted(mapped.tolist()) == list(range(t))
     for d in range(6):
-        prims = bvh.prim_id[d]
-        leaves = prims[prims != NULL_PRIMITIVE]
-        # every primitive appears exactly once as a leaf
-        assert sorted(leaves.tolist()) == list(range(t))
-        # miss links point forward and within [1, size]
-        miss = bvh.miss[d]
+        # every leaf row referenced exactly once per direction order
+        leaves = bvh.node_leaf[d][bvh.node_leaf[d] != NULL_PRIMITIVE]
+        assert sorted(leaves.tolist()) == list(range(bvh.num_leaves))
+        # miss links point strictly forward and within [1, size]
+        miss = bvh.node_miss[d]
         assert (miss > np.arange(bvh.size)).all()
         assert (miss <= bvh.size).all()
-        # aabb ids are valid node ids
-        assert ((bvh.aabb_id[d] >= 0) & (bvh.aabb_id[d] < bvh.size)).all()
+        assert ((bvh.node_aabb[d] >= 0) & (bvh.node_aabb[d] < bvh.size)).all()
+
+
+def test_bvh_leaf_size_one_is_reference_layout(soup):
+    # leaf_size=1 degenerates to the 2n-1 one-prim-leaf layout of the
+    # reference builder (bvh.cpp:17)
+    b1 = build_bvh(soup, leaf_size=1)
+    t = soup.shape[0] // 3
+    assert b1.size == 2 * t - 1
+    assert b1.num_leaves == t
 
 
 def test_bvh_root_bound_contains_all(soup, bvh):
     v = soup.reshape(-1, 3)
-    # the root in every direction order is new-id 0 -> aabb_id[d][0]
     for d in range(6):
-        root = bvh.aabb_id[d][0]
+        root = bvh.node_aabb[d][0]
         assert (bvh.bounds_min[root] <= v.min(0) + 1e-5).all()
         assert (bvh.bounds_max[root] >= v.max(0) - 1e-5).all()
 
@@ -65,16 +73,11 @@ def test_traversal_matches_brute_force(soup, bvh):
     ray_d /= np.linalg.norm(ray_d, axis=-1, keepdims=True)
 
     tri_v = jnp.asarray(soup.reshape(-1, 3, 3))
+    packed_b = jnp.asarray(trv.pack_bvh(bvh))
     bp, bd, bb = trv.intersect_brute(tri_v, jnp.asarray(ray_o), jnp.asarray(ray_d))
     tp, td, tb = trv.intersect_bvh(
-        tri_v,
-        jnp.asarray(bvh.bounds_min),
-        jnp.asarray(bvh.bounds_max),
-        jnp.asarray(bvh.prim_id.reshape(-1)),
-        jnp.asarray(bvh.aabb_id.reshape(-1)),
-        jnp.asarray(bvh.miss.reshape(-1)),
-        jnp.asarray(ray_o),
-        jnp.asarray(ray_d),
+        jnp.asarray(bvh.leaf_tris), jnp.asarray(bvh.leaf_map), packed_b,
+        jnp.asarray(ray_o), jnp.asarray(ray_d),
     )
     bp, bd = np.asarray(bp), np.asarray(bd)
     tp, td = np.asarray(tp), np.asarray(td)
@@ -91,17 +94,12 @@ def test_occlusion_matches_brute_force(soup, bvh):
     x = rng.uniform(-6, 6, size=(n, 3)).astype(np.float32)
     y = rng.uniform(-6, 6, size=(n, 3)).astype(np.float32)
     tri_v = jnp.asarray(soup.reshape(-1, 3, 3))
+    packed_b = jnp.asarray(trv.pack_bvh(bvh))
     ob = np.asarray(trv.occlusion_brute(tri_v, jnp.asarray(x), jnp.asarray(y)))
     ot = np.asarray(
         trv.occlusion_bvh(
-            tri_v,
-            jnp.asarray(bvh.bounds_min),
-            jnp.asarray(bvh.bounds_max),
-            jnp.asarray(bvh.prim_id.reshape(-1)),
-            jnp.asarray(bvh.aabb_id.reshape(-1)),
-            jnp.asarray(bvh.miss.reshape(-1)),
-            jnp.asarray(x),
-            jnp.asarray(y),
+            jnp.asarray(bvh.leaf_tris), jnp.asarray(bvh.leaf_map), packed_b,
+            jnp.asarray(x), jnp.asarray(y),
         )
     )
     assert ob.mean() > 0.05
