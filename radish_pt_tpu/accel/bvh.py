@@ -56,8 +56,29 @@ class BVH:
 def build_bvh(vertices: np.ndarray, leaf_size: int = DEFAULT_LEAF_SIZE) -> BVH:
     """Build the SAH BVH with <=leaf_size-triangle leaves + 6 threaded orders.
 
-    ``vertices``: float32 [3T, 3] flat triangle soup.
+    ``vertices``: float32 [3T, 3] flat triangle soup.  Uses the native C++
+    builder (radish_pt_tpu/native) when available; this numpy implementation
+    is the always-available fallback and the parity oracle.
     """
+    try:
+        from ..native import native_build_bvh
+
+        out = native_build_bvh(vertices, leaf_size)
+    except Exception:
+        out = None
+    if out is not None:
+        (bounds_min, bounds_max, node_leaf, node_aabb, node_miss,
+         leaf_tris, leaf_map, depth) = out
+        return BVH(
+            bounds_min=bounds_min, bounds_max=bounds_max, node_leaf=node_leaf,
+            node_aabb=node_aabb, node_miss=node_miss, leaf_tris=leaf_tris,
+            leaf_map=leaf_map, leaf_size=leaf_size, depth=depth,
+        )
+    return build_bvh_numpy(vertices, leaf_size)
+
+
+def build_bvh_numpy(vertices: np.ndarray, leaf_size: int = DEFAULT_LEAF_SIZE) -> BVH:
+    """Pure-numpy builder (reference implementation for the native twin)."""
     v = np.asarray(vertices, dtype=np.float32).reshape(-1, 3, 3)
     num_prims = v.shape[0]
     assert num_prims > 0

@@ -34,10 +34,24 @@ def _parse_index(token: str, count: int) -> int:
 def load_obj(path: str) -> MeshData:
     """Parse an OBJ file; polygons are fan-triangulated.
 
-    Missing normals are replaced with (area-weighted flat) face normals and
-    missing texcoords with (0,0), matching the reference's fallback
-    (scene.cpp:55-58 fills texcoords with vec2(0)).
+    Missing normals are replaced with face normals and missing texcoords with
+    (0,0), matching the reference's fallback (scene.cpp:55-58).  Uses the
+    native C++ parser when available; numpy fallback below is the oracle.
     """
+    try:
+        from ..native import native_load_obj
+
+        out = native_load_obj(path)
+    except Exception:
+        out = None
+    if out is not None:
+        v, n, uv = out
+        return MeshData(vertices=v, normals=n, texcoords=uv)
+    return load_obj_py(path)
+
+
+def load_obj_py(path: str) -> MeshData:
+    """Pure-Python OBJ parser (fallback + parity oracle)."""
     positions: list[tuple[float, float, float]] = []
     normals: list[tuple[float, float, float]] = []
     texcoords: list[tuple[float, float]] = []
