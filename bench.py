@@ -22,14 +22,26 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 BASELINE_TARGET_MS = 33.33  # 30 fps interactive target
 
 
-def _time_frames(step_fn, n_warmup: int = 2, n_iter: int = 8):
+def _sync(out):
+    """Force device completion by fetching data — on the tunneled TPU
+    backend, block_until_ready returns before execution finishes; only a
+    host transfer truly synchronizes."""
+    import numpy as np
+
     import jax
 
+    leaves = jax.tree_util.tree_leaves(out)
+    return float(np.asarray(leaves[0]).reshape(-1)[0])
+
+
+def _time_frames(step_fn, n_warmup: int = 2, n_iter: int = 8):
     for i in range(n_warmup):
-        jax.block_until_ready(step_fn(i))
+        _sync(step_fn(i))
     t0 = time.perf_counter()
+    out = None
     for i in range(n_iter):
-        jax.block_until_ready(step_fn(n_warmup + i))
+        out = step_fn(n_warmup + i)
+    _sync(out)
     return (time.perf_counter() - t0) / n_iter * 1e3
 
 

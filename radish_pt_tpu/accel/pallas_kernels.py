@@ -1,0 +1,215 @@
+"""Pallas TPU kernels for the dense intersection path.
+
+The brute-force ray x triangle sweep is the renderer's most regular hot loop
+(small/mid scenes use it outright; it is also the ``naiveIntersect`` oracle
+of SURVEY.md §7 step 2).  Layout is everything here:
+
+* rays live on the LANE axis (128 per block),
+* triangles stream through the SUBLANE axis 8 at a time,
+
+so every (8, 128) VPU op evaluates 8 triangles x 128 rays = 1024 ray-tri
+pairs with pure vector loads (no scalar broadcasts).  The per-ray closest
+hit is reduced across sublanes with one argmin per 8-triangle group and
+carried across triangle chunks in the output blocks (initialized on the
+first chunk via ``pl.when``; the tri grid axis revisits the same output
+block).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NULL_PRIMITIVE = -1
+FLT_MAX = 3.402823466e38
+
+RAY_BLOCK = 1024  # rays per grid step: an (8, 128) block, row = 128 rays
+TRI_CHUNK = 512  # triangles per grid step ([512, 9] VMEM block)
+TRI_SUB = 8  # triangles per (8, 128) op (sublane axis)
+
+
+def _brute_kernel(
+    tri_ref,  # [TRI_CHUNK, 9] VMEM  (v0, e01, e02 components)
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # [8, 128] VMEM
+    prim_ref, dist_ref, bx_ref, by_ref,  # outputs [8, 128]
+    *, num_tris: int,
+):
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _init():
+        prim_ref[:] = jnp.full_like(prim_ref, NULL_PRIMITIVE)
+        dist_ref[:] = jnp.full_like(dist_ref, FLT_MAX)
+        bx_ref[:] = jnp.zeros_like(bx_ref)
+        by_ref[:] = jnp.zeros_like(by_ref)
+
+    n_lane_blocks = RAY_BLOCK // 128
+
+    def ray_block(b, _):
+        row = pl.ds(b, 1)
+        ox = ox_ref[row, :]  # (1, 128) = one row of 128 rays
+        oy = oy_ref[row, :]
+        oz = oz_ref[row, :]
+        dx = dx_ref[row, :]
+        dy = dy_ref[row, :]
+        dz = dz_ref[row, :]
+
+        best_prim = prim_ref[row, :]
+        best_dist = dist_ref[row, :]
+        best_bx = bx_ref[row, :]
+        best_by = by_ref[row, :]
+
+        def tri_group(g, carry):
+            best_prim, best_dist, best_bx, best_by = carry
+            t8 = tri_ref[pl.ds(g * TRI_SUB, TRI_SUB), :]  # (8, 9)
+            col = lambda k: t8[:, k].reshape(TRI_SUB, 1)  # (8, 1)
+            v0x, v0y, v0z = col(0), col(1), col(2)
+            e1x, e1y, e1z = col(3), col(4), col(5)
+            e2x, e2y, e2z = col(6), col(7), col(8)
+
+            # Möller–Trumbore on (8 tris, 128 rays)
+            px = dy * e2z - dz * e2y
+            py = dz * e2x - dx * e2z
+            pz = dx * e2y - dy * e2x
+            det0 = e1x * px + e1y * py + e1z * pz
+            sign = jnp.where(det0 < 0.0, -1.0, 1.0)
+            det = jnp.abs(det0)
+            sx = (ox - v0x) * sign
+            sy = (oy - v0y) * sign
+            sz = (oz - v0z) * sign
+            bx = sx * px + sy * py + sz * pz
+            qx = sy * e1z - sz * e1y
+            qy = sz * e1x - sx * e1z
+            qz = sx * e1y - sy * e1x
+            by = dx * qx + dy * qy + dz * qz
+            inv_det = 1.0 / jnp.where(det > 1e-30, det, 1e-30)
+            tdist = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+            tri_id = (
+                c * TRI_CHUNK
+                + g * TRI_SUB
+                + jax.lax.broadcasted_iota(jnp.int32, (TRI_SUB, 128), 0)
+            )
+            hit = (
+                (det >= 1.1920929e-07)
+                & (bx >= 0.0)
+                & (bx <= det)
+                & (by >= 0.0)
+                & (bx + by <= det)
+                & (tdist > 0.0)
+                & (tri_id < num_tris)
+            )
+            tdist = jnp.where(hit, tdist, FLT_MAX)
+            nbx = bx * inv_det
+            nby = by * inv_det
+
+            # per-ray min over the 8-triangle sublane axis, unrolled with
+            # static row slices (Mosaic has no take_along_axis lowering)
+            gdist = best_dist
+            gprim = best_prim
+            gbx = best_bx
+            gby = best_by
+            for s in range(TRI_SUB):
+                cd = tdist[s : s + 1, :]
+                upd = cd < gdist
+                gdist = jnp.where(upd, cd, gdist)
+                gprim = jnp.where(upd, tri_id[s : s + 1, :], gprim)
+                gbx = jnp.where(upd, nbx[s : s + 1, :], gbx)
+                gby = jnp.where(upd, nby[s : s + 1, :], gby)
+            return gprim, gdist, gbx, gby
+
+        best_prim, best_dist, best_bx, best_by = jax.lax.fori_loop(
+            0, TRI_CHUNK // TRI_SUB, tri_group,
+            (best_prim, best_dist, best_bx, best_by),
+        )
+        prim_ref[row, :] = best_prim
+        dist_ref[row, :] = best_dist
+        bx_ref[row, :] = best_bx
+        by_ref[row, :] = best_by
+        return 0
+
+    jax.lax.fori_loop(0, n_lane_blocks, ray_block, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def intersect_brute_pallas(tri_packed, ray_o, ray_d, interpret: bool = False):
+    """Closest hit over all triangles — Pallas twin of
+    :func:`radish_pt_tpu.accel.traverse.intersect_brute`.
+
+    ``tri_packed``: f32[T, 9]; rays [N, 3].  Returns (prim, dist, bary).
+    """
+    n = ray_o.shape[0]
+    num_tris = tri_packed.shape[0]
+    n_pad = -(-n // RAY_BLOCK) * RAY_BLOCK
+    t_pad = -(-num_tris // TRI_CHUNK) * TRI_CHUNK
+
+    tp = jnp.pad(tri_packed, ((0, t_pad - num_tris), (0, 0)))
+    comps = []
+    for arr, k in (
+        (ray_o, 0), (ray_o, 1), (ray_o, 2),
+        (ray_d, 0), (ray_d, 1), (ray_d, 2),
+    ):
+        c = jnp.pad(arr[:, k], (0, n_pad - n), constant_values=1.0)
+        comps.append(c.reshape(n_pad // 128, 128))
+
+    grid = (n_pad // RAY_BLOCK, t_pad // TRI_CHUNK)
+    ray_spec = pl.BlockSpec(
+        (RAY_BLOCK // 128, 128), lambda i, c: (i, 0), memory_space=pltpu.VMEM
+    )
+    tri_spec = pl.BlockSpec(
+        (TRI_CHUNK, 9), lambda i, c: (c, 0), memory_space=pltpu.VMEM
+    )
+
+    row_shape = (n_pad // 128, 128)
+    out_shape = [
+        jax.ShapeDtypeStruct(row_shape, jnp.int32),
+        jax.ShapeDtypeStruct(row_shape, jnp.float32),
+        jax.ShapeDtypeStruct(row_shape, jnp.float32),
+        jax.ShapeDtypeStruct(row_shape, jnp.float32),
+    ]
+    prim, dist, bx, by = pl.pallas_call(
+        functools.partial(_brute_kernel, num_tris=num_tris),
+        grid=grid,
+        in_specs=[tri_spec] + [ray_spec] * 6,
+        out_specs=[ray_spec] * 4,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(tp, *comps)
+
+    prim = prim.reshape(-1)[:n]
+    dist = dist.reshape(-1)[:n]
+    bary = jnp.stack([bx.reshape(-1)[:n], by.reshape(-1)[:n]], axis=-1)
+    return prim, dist, bary
+
+
+def occlusion_brute_pallas(tri_packed, x, y, interpret: bool = False):
+    """Shadow query via the dense kernel: closest hit vs segment length
+    (dense any-hit == closest-hit here since the sweep is exhaustive)."""
+    eps = 1e-4
+    d = y - x
+    dist = jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=-1), 1e-24))
+    dirn = d / dist[..., None]
+    max_dist = dist - eps
+    ori = x + dirn * 1e-5
+    prim, hit_dist, _ = intersect_brute_pallas(tri_packed, ori, dirn, interpret)
+    return (prim != NULL_PRIMITIVE) & (hit_dist < max_dist)
+
+
+# Above this triangle count the O(N*T) dense sweep loses to the BVH walk:
+# the sweep sustains ~7.7 G ray-tri tests/s (VPU-bound: ~8 ops/pair epilogue)
+# while the gather-bound lockstep walk costs ~45 ms per 25k-ray traversal
+# roughly independent of T — crossover around 10-20k triangles at 800^2.
+PALLAS_BRUTE_MAX_TRIS = 16384
+
+
+def pallas_available() -> bool:
+    """True when the default DEVICE can run Mosaic TPU kernels (respects
+    jax_default_device, which tests pin to CPU)."""
+    try:
+        dev = jax.config.jax_default_device or jax.devices()[0]
+        return dev.platform == "tpu"
+    except Exception:  # noqa: BLE001
+        return False

@@ -8,6 +8,8 @@ arrays instead of cudaMemcpy'd pointers.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 import jax.numpy as jnp
@@ -114,10 +116,22 @@ def build_device_scene(
         ap_table = build_alias_table(_luminance_np(ap_img).reshape(-1))
         ap_prob, ap_idx = ap_table.prob, ap_table.alias
 
-    # ---- BVH ----
+    # ---- BVH + intersector choice ----
     num_tris = tri_v.shape[0]
     use_bvh = num_tris > BRUTE_FORCE_MAX_TRIS if force_bvh is None else force_bvh
     bvh = build_bvh(tri_v.reshape(-1, 3))
+
+    intersector = os.environ.get("RADISH_INTERSECTOR", "")
+    if intersector not in ("pallas_brute", "bvh", "brute"):
+        from ..accel.pallas_kernels import PALLAS_BRUTE_MAX_TRIS, pallas_available
+
+        if pallas_available() and num_tris <= PALLAS_BRUTE_MAX_TRIS:
+            # dense Pallas sweep beats the gather-bound walk up to ~100k tris
+            intersector = "pallas_brute"
+        elif use_bvh:
+            intersector = "bvh"
+        else:
+            intersector = "brute"
 
     # ---- textures ----
     tex_data, tex_off, tex_w, tex_h = pack_textures(scene.textures)
@@ -128,6 +142,7 @@ def build_device_scene(
     mats = scene.materials if scene.materials else [HostMaterial()]
 
     ds = DeviceScene(
+        intersector=intersector,
         use_bvh=use_bvh,
         n_area_lights=n_area_lights,
         has_env=has_env,

@@ -50,7 +50,10 @@ MATERIAL_TYPE_TOKENS = {
 @struct.dataclass
 class DeviceScene:
     # --- static metadata (compile-time) ---
-    use_bvh: bool = struct.field(pytree_node=False, default=True)
+    # intersector: 'pallas_brute' (dense Pallas sweep, TPU, small/mid scenes),
+    # 'bvh' (lockstep MTBVH walk), 'brute' (XLA dense sweep, tiny scenes/CPU)
+    intersector: str = struct.field(pytree_node=False, default="bvh")
+    use_bvh: bool = struct.field(pytree_node=False, default=True)  # legacy alias
     n_area_lights: int = struct.field(pytree_node=False, default=0)
     has_env: bool = struct.field(pytree_node=False, default=False)
     has_aperture: bool = struct.field(pytree_node=False, default=False)
@@ -206,8 +209,13 @@ def surface_info(ds: DeviceScene, prim_id, bary) -> tuple:
 
 def intersect(ds: DeviceScene, ray_o, ray_d) -> Interaction:
     """Closest hit + surface interpolation (DevScene::intersect, scene.h:262-301).
-    Static switch between brute force (tiny scenes) and MTBVH traversal."""
-    if ds.use_bvh:
+    Static dispatch over the scene's intersector (Pallas dense sweep / MTBVH
+    walk / XLA dense sweep)."""
+    if ds.intersector == "pallas_brute":
+        from ..accel.pallas_kernels import intersect_brute_pallas
+
+        prim, dist, bary = intersect_brute_pallas(ds.tri_packed, ray_o, ray_d)
+    elif ds.intersector == "bvh":
         prim, dist, bary = trv.intersect_bvh(
             ds.leaf_tris, ds.leaf_map, ds.bvh_packed, ray_o, ray_d
         )
@@ -221,7 +229,11 @@ def intersect(ds: DeviceScene, ray_o, ray_d) -> Interaction:
 
 def test_occlusion(ds: DeviceScene, x, y):
     """True where segment x->y is blocked (testOcclusion, scene.h:303-334)."""
-    if ds.use_bvh:
+    if ds.intersector == "pallas_brute":
+        from ..accel.pallas_kernels import occlusion_brute_pallas
+
+        return occlusion_brute_pallas(ds.tri_packed, x, y)
+    if ds.intersector == "bvh":
         return trv.occlusion_bvh(ds.leaf_tris, ds.leaf_map, ds.bvh_packed, x, y)
     return trv.occlusion_brute(ds.tri_packed, x, y)
 

@@ -1,0 +1,47 @@
+"""Pallas kernel parity tests (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from radish_pt_tpu.accel import traverse as trv
+from radish_pt_tpu.accel.pallas_kernels import (
+    intersect_brute_pallas,
+    occlusion_brute_pallas,
+)
+
+
+@pytest.fixture(scope="module")
+def scene_rays():
+    rng = np.random.default_rng(21)
+    centers = rng.uniform(-3, 3, size=(40, 1, 3))
+    soup = (centers + rng.normal(scale=0.5, size=(40, 3, 3))).astype(np.float32)
+    tri_packed = jnp.asarray(trv.pack_tris(soup))
+    n = 64
+    ray_o = rng.uniform(-6, 6, size=(n, 3)).astype(np.float32)
+    targets = soup.mean(axis=1)[rng.integers(0, 40, n)]
+    ray_d = targets - ray_o
+    ray_d /= np.linalg.norm(ray_d, axis=-1, keepdims=True)
+    return tri_packed, jnp.asarray(ray_o), jnp.asarray(ray_d.astype(np.float32))
+
+
+def test_pallas_brute_matches_xla(scene_rays):
+    tri_packed, ray_o, ray_d = scene_rays
+    p0, d0, b0 = trv.intersect_brute(tri_packed, ray_o, ray_d)
+    p1, d1, b1 = intersect_brute_pallas(tri_packed, ray_o, ray_d, interpret=True)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p0))
+    hits = np.asarray(p0) >= 0
+    assert hits.mean() > 0.3
+    np.testing.assert_allclose(np.asarray(d1)[hits], np.asarray(d0)[hits], rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(b1)[hits], np.asarray(b0)[hits], atol=2e-4)
+
+
+def test_pallas_occlusion_matches_xla(scene_rays):
+    tri_packed, ray_o, ray_d = scene_rays
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(-4, 4, size=(64, 3)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(-4, 4, size=(64, 3)).astype(np.float32))
+    o0 = trv.occlusion_brute(tri_packed, x, y)
+    o1 = occlusion_brute_pallas(tri_packed, x, y, interpret=True)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o0))

@@ -118,7 +118,7 @@ def test_bvh_and_brute_render_identically(cornell):
     """Same cornell frame with use_bvh toggled — the full pipeline oracle."""
     ds, cam, _ = cornell
     f = jax.jit(pt.path_trace, static_argnames=("max_depth",))
-    d0, i0 = f(ds.replace(use_bvh=False), cam, 3, 2)
-    d1, i1 = f(ds.replace(use_bvh=True), cam, 3, 2)
+    d0, i0 = f(ds.replace(intersector="brute"), cam, 3, 2)
+    d1, i1 = f(ds.replace(intersector="bvh"), cam, 3, 2)
     np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), atol=2e-3)
     np.testing.assert_allclose(np.asarray(i0), np.asarray(i1), atol=2e-3)
