@@ -53,6 +53,19 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--timing", action="store_true", help="print per-pass ms table")
     p.add_argument("--preview-every", type=int, default=0)
     p.add_argument("--animate-camera", action="store_true")
+    p.add_argument(
+        "--gbuffer-view",
+        choices=["albedo", "normal", "depth", "motion"],
+        default="albedo",
+        help="debug channel for --tracer gbuffer",
+    )
+    p.add_argument("--batch-spp", type=int, default=0,
+                   help="samples per device dispatch (full-PT tracer; amortizes dispatch latency)")
+    p.add_argument("--checkpoint", default=None,
+                   help="write render-state checkpoint here when done")
+    p.add_argument("--resume", default=None, help="resume from a checkpoint")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax_debug_nans (traps NaNs in kernels)")
     return p
 
 
@@ -64,6 +77,10 @@ def main(argv=None) -> int:
     from .utils.cache import enable_persistent_cache
 
     enable_persistent_cache()
+    if args.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
 
     t0 = time.time()
     r = Renderer(scene_path=args.scene, timing=args.timing)
@@ -108,22 +125,32 @@ def main(argv=None) -> int:
         "aces": ToneMapping.ACES,
     }[args.tonemap]
     s.animate_camera = args.animate_camera
+    s.gbuffer_view = args.gbuffer_view
     if args.depth is not None:
         s.trace_depth = args.depth
+    if args.resume:
+        r.load_checkpoint(args.resume)
+        print(f"[resumed from {args.resume}: {r.state.iteration} spp accumulated]")
 
     spp = args.spp or r.state.iterations
     print(f"[rendering {spp} spp, tracer={args.tracer}, depth={s.trace_depth}]")
     t0 = time.time()
-    for i in range(spp):
-        r.step()
-        if args.preview_every and (i + 1) % args.preview_every == 0:
-            p = r.save(f"{r.state.image_name}_preview_{i + 1}.png")
-            print(f"  [{i + 1}/{spp}] preview -> {p}")
-        elif (i + 1) % 16 == 0 or i == 0:
-            dt = time.time() - t0
-            print(f"  [{i + 1}/{spp} spp, {dt / (i + 1) * 1e3:.1f} ms/frame avg]")
+    if args.batch_spp > 1 and args.tracer == "pt":
+        r.render_batched(spp, block=args.batch_spp)
+    else:
+        for i in range(spp):
+            r.step()
+            if args.preview_every and (i + 1) % args.preview_every == 0:
+                p = r.save(f"{r.state.image_name}_preview_{i + 1}.png")
+                print(f"  [{i + 1}/{spp}] preview -> {p}")
+            elif (i + 1) % 16 == 0 or i == 0:
+                dt = time.time() - t0
+                print(f"  [{i + 1}/{spp} spp, {dt / (i + 1) * 1e3:.1f} ms/frame avg]")
     total = time.time() - t0
     print(f"[done: {total:.2f}s total, {total / spp * 1e3:.2f} ms/frame]")
+    if args.checkpoint:
+        cp = r.save_checkpoint(args.checkpoint)
+        print(f"[checkpoint -> {cp}]")
     if args.timing:
         print(r.timer.table())
     path = r.save(args.out)

@@ -72,6 +72,7 @@ class Settings:
 
     # debug
     check_nans: bool = False
+    gbuffer_view: str = "albedo"  # albedo | normal | depth | motion
 
 
 @dataclass

@@ -1,0 +1,97 @@
+"""Render-state checkpoint / resume.
+
+The reference has NO checkpointing (SURVEY.md §5): progressive accumulation
+lives only in VRAM and dies on camera change or exit (main.cpp:177-182).
+Here the whole render state is a pytree, so checkpointing is a numpy save of
+the accumulation buffers + sampler counters + ReSTIR reservoirs + SVGF
+history — a long progressive render survives restarts and can keep
+accumulating.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+import jax.numpy as jnp
+
+FORMAT_VERSION = 1
+
+
+def save_checkpoint(renderer, path: str) -> str:
+    """Serialize a Renderer's progressive state to ``path`` (.npz)."""
+    r = renderer
+    arrays = {
+        "direct": np.asarray(r.direct),
+        "indirect": np.asarray(r.indirect),
+        "res_li": np.asarray(r.reservoir.li),
+        "res_wi": np.asarray(r.reservoir.wi),
+        "res_dist": np.asarray(r.reservoir.dist),
+        "res_num": np.asarray(r.reservoir.num),
+        "res_weight": np.asarray(r.reservoir.weight),
+        "gbuf_normal": np.asarray(r.gbuf_last.normal),
+        "gbuf_prim": np.asarray(r.gbuf_last.prim_id),
+        "gbuf_depth": np.asarray(r.gbuf_last.depth),
+        "svgf_color": np.asarray(r.svgf_direct.accum_color),
+        "svgf_moment": np.asarray(r.svgf_direct.accum_moment),
+        "cam_position": np.asarray(r.cam.position),
+        "cam_rotation": np.asarray(r.cam.rotation),
+    }
+    meta = {
+        "version": FORMAT_VERSION,
+        "iteration": r.state.iteration,
+        "looper": r.state.looper,
+        "first_frame": r.first_frame,
+        "width": r.cam.width,
+        "height": r.cam.height,
+        "image_name": r.state.image_name,
+    }
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez_compressed(path, __meta__=json.dumps(meta), **arrays)
+    return os.path.abspath(path)
+
+
+def load_checkpoint(renderer, path: str) -> None:
+    """Restore progressive state into a Renderer built for the same scene."""
+    data = np.load(path, allow_pickle=False)
+    meta = json.loads(str(data["__meta__"]))
+    if meta["version"] != FORMAT_VERSION:
+        raise ValueError(f"checkpoint version {meta['version']} unsupported")
+    if (meta["width"], meta["height"]) != (renderer.cam.width, renderer.cam.height):
+        raise ValueError(
+            f"checkpoint resolution {meta['width']}x{meta['height']} != "
+            f"renderer {renderer.cam.width}x{renderer.cam.height}"
+        )
+    r = renderer
+    r.direct = jnp.asarray(data["direct"])
+    r.indirect = jnp.asarray(data["indirect"])
+    r.reservoir = r.reservoir.replace(
+        li=jnp.asarray(data["res_li"]),
+        wi=jnp.asarray(data["res_wi"]),
+        dist=jnp.asarray(data["res_dist"]),
+        num=jnp.asarray(data["res_num"]),
+        weight=jnp.asarray(data["res_weight"]),
+    )
+    r.gbuf_last = r.gbuf_last.replace(
+        normal=jnp.asarray(data["gbuf_normal"]),
+        prim_id=jnp.asarray(data["gbuf_prim"]),
+        depth=jnp.asarray(data["gbuf_depth"]),
+    )
+    r.svgf_direct = r.svgf_direct.replace(
+        accum_color=jnp.asarray(data["svgf_color"]),
+        accum_moment=jnp.asarray(data["svgf_moment"]),
+    )
+    from ..scene.camera import update_camera
+
+    r.cam = update_camera(
+        r.cam.replace(
+            position=jnp.asarray(data["cam_position"]),
+            rotation=jnp.asarray(data["cam_rotation"]),
+        )
+    )
+    r.last_cam = r.cam
+    r.state.iteration = int(meta["iteration"])
+    r.state.looper = int(meta["looper"])
+    r.first_frame = bool(meta["first_frame"])

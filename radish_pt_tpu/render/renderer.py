@@ -37,6 +37,22 @@ from . import post
 from . import restir as rs
 
 
+def _pt_batch(ds, cam, looper0, direct, indirect, iteration, *, max_depth, block):
+    """``block`` full-PT samples accumulated in one compiled program."""
+
+    def body(k, carry):
+        d_acc, i_acc = carry
+        d, ind = pt.path_trace(ds, cam, looper0 + k, max_depth)
+        d = pt.scrub_and_compress(d)
+        ind = pt.scrub_and_compress(ind)
+        return (
+            pt.accumulate(d_acc, d, iteration + k),
+            pt.accumulate(i_acc, ind, iteration + k),
+        )
+
+    return jax.lax.fori_loop(0, block, body, (direct, indirect))
+
+
 class Renderer:
     """Stateful host-side frame driver around pure jitted passes."""
 
@@ -125,6 +141,14 @@ class Renderer:
             lambda: jax.jit(run, donate_argnums=(7,)),
         )
 
+    def _sync_if_timing(self, out):
+        # block_until_ready does not actually block through the TPU tunnel;
+        # fetch one element to synchronize when per-pass timing is requested
+        if self.timer.enabled:
+            leaves = jax.tree_util.tree_leaves(out)
+            np.asarray(leaves[0]).reshape(-1)[:1]
+        return out
+
     def _display_fn(self, tone):
         return self._get(
             ("display", tone),
@@ -170,7 +194,7 @@ class Renderer:
 
         with self.timer.time("gbuffer"):
             self.gbuf = self._gbuffer_fn()(self.ds, self.cam, self.last_cam)
-            jax.block_until_ready(self.gbuf) if self.timer.enabled else None
+            self._sync_if_timing(self.gbuf)
 
         if s.tracer == Tracer.RESTIR_DI or s.use_reservoir:
             fn = self._restir_fn(s.reservoir_reuse, s.reservoir_size, s.temporal_clamp)
@@ -180,12 +204,12 @@ class Renderer:
                     self.reservoir, jnp.asarray(self.first_frame),
                     self.direct, st.iteration,
                 )
-                jax.block_until_ready(self.direct) if self.timer.enabled else None
+                self._sync_if_timing(self.direct)
             image = self.direct
         elif s.tracer == Tracer.BVH_VISUALIZE:
             image = self._bvh_heatmap()
         elif s.tracer == Tracer.GBUFFER_PREVIEW:
-            image = self.gbuf.albedo
+            image = self._gbuffer_view()
         elif s.tracer in (Tracer.STREAMED, Tracer.SINGLE_KERNEL):
             fn = self._pt_full_fn(s.trace_depth)
             with self.timer.time("pathtrace"):
@@ -193,7 +217,7 @@ class Renderer:
                     self.ds, self.cam, st.looper,
                     self.direct, self.indirect, st.iteration,
                 )
-                jax.block_until_ready(self.direct) if self.timer.enabled else None
+                self._sync_if_timing(self.direct)
             image = post.add_image(self.direct, self.indirect)
         else:  # direct-only tracer (the reference demo loop default)
             fn = self._pt_direct_fn()
@@ -201,10 +225,11 @@ class Renderer:
                 self.direct = fn(
                     self.ds, self.cam, st.looper, self.direct, st.iteration
                 )
-                jax.block_until_ready(self.direct) if self.timer.enabled else None
+                self._sync_if_timing(self.direct)
             image = self.direct
 
         image = self._apply_denoiser(image)
+        self._last_image = image
 
         with self.timer.time("display"):
             disp = self._display_fn(s.tone_mapping)(
@@ -261,6 +286,21 @@ class Renderer:
             return out
         return image
 
+    def _gbuffer_view(self):
+        """G-buffer debug views — the reference GUI's Albedo/Normal/Depth/
+        Motion preview combos (preview.cpp:254-276)."""
+        view = getattr(self.settings, "gbuffer_view", "albedo")
+        g = self.gbuf
+        if view == "normal":
+            return g.frame.normal * 0.5 + 0.5
+        if view == "depth":
+            d = g.frame.depth
+            d = d / jnp.maximum(jnp.max(d), 1e-6)
+            return jnp.repeat(d[:, None], 3, axis=-1)
+        if view == "motion":
+            return gb.motion_debug_image(g.motion, self.cam.width, self.cam.height)
+        return g.albedo
+
     def _bvh_heatmap(self):
         from ..accel import traverse as trv
 
@@ -293,8 +333,49 @@ class Renderer:
         img = self.current_image()
         return np.asarray(img).reshape(self.cam.height, self.cam.width, 3)
 
+    def render_batched(self, spp: int, block: int = 8):
+        """Accumulate ``spp`` samples with ``block`` spp per device dispatch
+        (a fori_loop inside one jit) — amortizes the per-dispatch latency of
+        the tunneled TPU backend.  Full-PT tracer only."""
+        s = self.settings
+        fn = self._get(
+            ("pt_batch", s.trace_depth, block),
+            lambda: jax.jit(
+                partial(_pt_batch, max_depth=s.trace_depth, block=block),
+                donate_argnums=(3, 4),
+            ),
+        )
+        done = 0
+        while done < spp:
+            self.direct, self.indirect = fn(
+                self.ds, self.cam, self.state.looper,
+                self.direct, self.indirect, self.state.iteration,
+            )
+            self.state.iteration += block
+            self.state.looper = (self.state.looper + block) % SOBOL_SAMPLE_NUM
+            done += block
+        img = self.current_image()
+        return np.asarray(img).reshape(self.cam.height, self.cam.width, 3)
+
+    def save_checkpoint(self, path: str) -> str:
+        """Persist progressive render state (accumulation, reservoirs, SVGF
+        history, sampler counters) — resume with :meth:`load_checkpoint`."""
+        from .checkpoint import save_checkpoint
+
+        return save_checkpoint(self, path)
+
+    def load_checkpoint(self, path: str) -> None:
+        from .checkpoint import load_checkpoint
+
+        load_checkpoint(self, path)
+
     def current_image(self):
         s = self.settings
+        if s.tracer in (Tracer.BVH_VISUALIZE, Tracer.GBUFFER_PREVIEW):
+            # debug tracers aren't accumulated; show the latest frame
+            img = getattr(self, "_last_image", None)
+            if img is not None:
+                return img
         if s.tracer in (Tracer.STREAMED, Tracer.SINGLE_KERNEL) and not s.use_reservoir:
             return post.add_image(self.direct, self.indirect)
         return self.direct

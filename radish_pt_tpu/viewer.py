@@ -1,0 +1,160 @@
+"""Interactive rendering shell — the TPU-host stand-in for the reference's
+GLFW + ImGui preview (``/root/reference/src/preview.cpp``, ``main.cpp:204-284``).
+
+There is no OpenGL interop on a TPU host, so interaction is a terminal REPL:
+each command mutates live settings or the camera (resetting accumulation,
+like ``State::camChanged``), renders a burst of frames, writes ``preview.png``
+and prints the live stats the reference shows in its ImGui panel (iteration,
+ms/frame, tracer/denoiser modes, BVH size).
+
+Run:  python -m radish_pt_tpu.viewer SCENE.txt [--res W H] [--spp-per-step N]
+
+Commands (reference key bindings, keyboard-ized):
+  w/s/a/d/q/e   move camera (forward/back/left/right/down/up)
+  h/l           yaw left/right     j/k  pitch down/up
+  t             cycle tracer (pt -> direct -> restir -> bvh -> gbuffer)
+  n             cycle denoiser (none -> gaussian -> eaw -> svgf)
+  m             cycle tonemap (none -> filmic -> aces)
+  g             cycle g-buffer view (albedo/normal/depth/motion)
+  r             reset accumulation
+  <enter>       render another burst
+  p [path]      save PNG        c [path]  save checkpoint
+  i             print stats     x         quit (saves like Esc in the ref)
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser(prog="radish_pt_tpu.viewer")
+    ap.add_argument("scene")
+    ap.add_argument("--res", type=int, nargs=2, metavar=("W", "H"), default=None)
+    ap.add_argument("--spp-per-step", type=int, default=4)
+    ap.add_argument("--preview", default="preview.png")
+    args = ap.parse_args(argv)
+
+    from .config import Denoiser, ToneMapping, Tracer
+    from .render.renderer import Renderer
+    from .utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    r = Renderer(scene_path=args.scene, timing=True)
+    if args.res:
+        r = Renderer(ds=r.ds, cam=r.cam.replace(width=args.res[0], height=args.res[1]),
+                     desc=r.desc, timing=True)
+
+    move_step = float(np.linalg.norm(np.asarray(r.ds.bounds_max[0] - r.ds.bounds_min[0]))) * 0.02 + 0.1
+    tracers = [Tracer.STREAMED, Tracer.DIRECT_LIGHT, Tracer.RESTIR_DI,
+               Tracer.BVH_VISUALIZE, Tracer.GBUFFER_PREVIEW]
+    tracer_names = ["pt", "direct", "restir", "bvh", "gbuffer"]
+    denoisers = [Denoiser.NONE, Denoiser.GAUSSIAN, Denoiser.EA_WAVELET, Denoiser.SVGF]
+    denoiser_names = ["none", "gaussian", "eaw", "svgf"]
+    tonemaps = [ToneMapping.NONE, ToneMapping.FILMIC, ToneMapping.ACES]
+    tonemap_names = ["none", "filmic", "aces"]
+    gviews = ["albedo", "normal", "depth", "motion"]
+
+    def stats():
+        s = r.settings
+        print(
+            f"  [iter {r.state.iteration} | tracer {tracer_names[tracers.index(s.tracer)]}"
+            f" | denoiser {denoiser_names[denoisers.index(s.denoiser)]}"
+            f" | tonemap {tonemap_names[tonemaps.index(s.tone_mapping)]}"
+            f" | {r.ds.num_triangles} tris, BVH {r.ds.bvh_packed.shape[0] // 6} nodes"
+            f" | intersector {r.ds.intersector}]"
+        )
+        if r.timer.times:
+            print(r.timer.table(last_n=8))
+
+    def burst(n=None):
+        n = n or args.spp_per_step
+        t0 = time.time()
+        for _ in range(n):
+            r.step()
+        img = r.save(args.preview)
+        dt = (time.time() - t0) / n * 1e3
+        print(f"  [{n} frames, {dt:.1f} ms/frame -> {img}]")
+
+    def move(dx=0.0, dy=0.0, dz=0.0):
+        cam = r.cam
+        pos = (np.asarray(cam.position)
+               + np.asarray(cam.right) * dx
+               + np.asarray(cam.up) * dy
+               + np.asarray(cam.view) * dz)
+        r.update_camera(position=pos)
+
+    def rotate(dyaw=0.0, dpitch=0.0):
+        rot = np.asarray(r.cam.rotation) + np.array([dyaw, dpitch, 0.0])
+        r.update_camera(rotation=rot)
+
+    print(__doc__.split("Commands")[1])
+    stats()
+    burst()
+
+    while True:
+        try:
+            line = input("radish> ").strip()
+        except (EOFError, KeyboardInterrupt):
+            line = "x"
+        cmd, _, arg = line.partition(" ")
+        s = r.settings
+        if cmd == "x":
+            path = r.save()
+            print(f"[saved {path}]")
+            return 0
+        elif cmd == "w":
+            move(dz=move_step)
+        elif cmd == "s" and not arg:
+            move(dz=-move_step)
+        elif cmd == "a":
+            move(dx=-move_step)
+        elif cmd == "d":
+            move(dx=move_step)
+        elif cmd == "q":
+            move(dy=-move_step)
+        elif cmd == "e":
+            move(dy=move_step)
+        elif cmd == "h":
+            rotate(dyaw=-5.0)
+        elif cmd == "l":
+            rotate(dyaw=5.0)
+        elif cmd == "j":
+            rotate(dpitch=-5.0)
+        elif cmd == "k":
+            rotate(dpitch=5.0)
+        elif cmd == "t":
+            s.tracer = tracers[(tracers.index(s.tracer) + 1) % len(tracers)]
+            r.reset_accumulation()
+        elif cmd == "n":
+            s.denoiser = denoisers[(denoisers.index(s.denoiser) + 1) % len(denoisers)]
+        elif cmd == "m":
+            s.tone_mapping = tonemaps[(tonemaps.index(s.tone_mapping) + 1) % len(tonemaps)]
+        elif cmd == "g":
+            s.gbuffer_view = gviews[(gviews.index(s.gbuffer_view) + 1) % len(gviews)]
+        elif cmd == "r":
+            r.reset_accumulation()
+        elif cmd == "p":
+            print(f"[saved {r.save(arg or None)}]")
+            continue
+        elif cmd == "c":
+            print(f"[checkpoint {r.save_checkpoint(arg or 'render.ckpt.npz')}]")
+            continue
+        elif cmd == "i":
+            stats()
+            continue
+        elif cmd not in ("", None):
+            print("  unknown command; see header for keys")
+            continue
+        burst()
+        stats()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
