@@ -33,10 +33,10 @@ TRI_SUB = 8  # triangles per (8, 128) op (sublane axis)
 
 
 def _brute_kernel(
-    tri_ref,  # [TRI_CHUNK, 9] VMEM  (v0, e01, e02 components)
+    tri_ref,  # [tri_chunk, 9] VMEM  (v0, e01, e02 components)
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # [8, 128] VMEM
     prim_ref, dist_ref, bx_ref, by_ref,  # outputs [8, 128]
-    *, num_tris: int,
+    *, num_tris: int, tri_chunk: int,
 ):
     c = pl.program_id(1)
 
@@ -89,7 +89,7 @@ def _brute_kernel(
             inv_det = 1.0 / jnp.where(det > 1e-30, det, 1e-30)
             tdist = (e2x * qx + e2y * qy + e2z * qz) * inv_det
             tri_id = (
-                c * TRI_CHUNK
+                c * tri_chunk
                 + g * TRI_SUB
                 + jax.lax.broadcasted_iota(jnp.int32, (TRI_SUB, 128), 0)
             )
@@ -122,7 +122,7 @@ def _brute_kernel(
             return gprim, gdist, gbx, gby
 
         best_prim, best_dist, best_bx, best_by = jax.lax.fori_loop(
-            0, TRI_CHUNK // TRI_SUB, tri_group,
+            0, tri_chunk // TRI_SUB, tri_group,
             (best_prim, best_dist, best_bx, best_by),
         )
         prim_ref[row, :] = best_prim
@@ -144,7 +144,10 @@ def intersect_brute_pallas(tri_packed, ray_o, ray_d, interpret: bool = False):
     n = ray_o.shape[0]
     num_tris = tri_packed.shape[0]
     n_pad = -(-n // RAY_BLOCK) * RAY_BLOCK
-    t_pad = -(-num_tris // TRI_CHUNK) * TRI_CHUNK
+    # size the triangle chunk to the scene: a 36-tri Cornell box must not pay
+    # for a 512-tri sweep (padding waste was 93% of round-1 frame time)
+    tri_chunk = min(TRI_CHUNK, -(-num_tris // TRI_SUB) * TRI_SUB)
+    t_pad = -(-num_tris // tri_chunk) * tri_chunk
 
     tp = jnp.pad(tri_packed, ((0, t_pad - num_tris), (0, 0)))
     comps = []
@@ -155,12 +158,12 @@ def intersect_brute_pallas(tri_packed, ray_o, ray_d, interpret: bool = False):
         c = jnp.pad(arr[:, k], (0, n_pad - n), constant_values=1.0)
         comps.append(c.reshape(n_pad // 128, 128))
 
-    grid = (n_pad // RAY_BLOCK, t_pad // TRI_CHUNK)
+    grid = (n_pad // RAY_BLOCK, t_pad // tri_chunk)
     ray_spec = pl.BlockSpec(
         (RAY_BLOCK // 128, 128), lambda i, c: (i, 0), memory_space=pltpu.VMEM
     )
     tri_spec = pl.BlockSpec(
-        (TRI_CHUNK, 9), lambda i, c: (c, 0), memory_space=pltpu.VMEM
+        (tri_chunk, 9), lambda i, c: (c, 0), memory_space=pltpu.VMEM
     )
 
     row_shape = (n_pad // 128, 128)
@@ -171,7 +174,7 @@ def intersect_brute_pallas(tri_packed, ray_o, ray_d, interpret: bool = False):
         jax.ShapeDtypeStruct(row_shape, jnp.float32),
     ]
     prim, dist, bx, by = pl.pallas_call(
-        functools.partial(_brute_kernel, num_tris=num_tris),
+        functools.partial(_brute_kernel, num_tris=num_tris, tri_chunk=tri_chunk),
         grid=grid,
         in_specs=[tri_spec] + [ray_spec] * 6,
         out_specs=[ray_spec] * 4,

@@ -149,8 +149,16 @@ def build_device_scene(
         has_aperture=has_aperture,
         single_sided=scene.settings.scene_light_single_sided,
         tri_v=jnp.asarray(tri_v),
-        tri_n=jnp.asarray(tri_n),
-        tri_uv=jnp.asarray(tri_uv),
+        tri_attr=jnp.asarray(
+            np.concatenate(
+                [
+                    tri_v.reshape(-1, 9),
+                    tri_n.reshape(-1, 9),
+                    tri_uv.reshape(-1, 6),
+                ],
+                axis=1,
+            )
+        ),
         material_ids=jnp.asarray(material_ids),
         bounds_min=jnp.asarray(bvh.bounds_min),
         bounds_max=jnp.asarray(bvh.bounds_max),

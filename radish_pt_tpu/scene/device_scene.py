@@ -60,9 +60,12 @@ class DeviceScene:
     single_sided: bool = struct.field(pytree_node=False, default=True)
 
     # --- geometry soup (DevScene::vertices/normals/texcoords, scene.h:494-496) ---
-    tri_v: jnp.ndarray = None  # f32 [T, 3, 3]
-    tri_n: jnp.ndarray = None  # f32 [T, 3, 3]
-    tri_uv: jnp.ndarray = None  # f32 [T, 3, 2]
+    tri_v: jnp.ndarray = None  # f32 [T, 3, 3] (light sampling / host use)
+    # per-triangle shading attributes packed for ONE gather per hit:
+    # [v0 v1 v2 (9) | n0 n1 n2 (9) | uv0 uv1 uv2 (6)] — divergent-gather cost
+    # on TPU is per ROW (~8 ns), not per byte, so one [T,24] row beats three
+    # narrow rows (round-1: surface_info was 38 ms/bounce as 3 gathers).
+    tri_attr: jnp.ndarray = None  # f32 [T, 24]
     material_ids: jnp.ndarray = None  # i32 [T]
 
     # --- MTBVH (scene.h:497-499) ---
@@ -193,17 +196,14 @@ class SurfaceMaterial:
 
 def surface_info(ds: DeviceScene, prim_id, bary) -> tuple:
     """Interpolate position/normal/uv from barycentrics —
-    ``getIntersecGeomInfo`` (scene.h:147-165)."""
-    p = jnp.maximum(prim_id, 0)
-    v = ds.tri_v[p]
-    n = ds.tri_n[p]
-    uv = ds.tri_uv[p]
+    ``getIntersecGeomInfo`` (scene.h:147-165) as ONE packed [T,24] gather."""
+    a = ds.tri_attr[jnp.maximum(prim_id, 0)]
     bx = bary[..., 0:1]
     by = bary[..., 1:2]
     bw = 1.0 - bx - by
-    pos = v[:, 1] * bx + v[:, 2] * by + v[:, 0] * bw
-    norm = m.normalize(n[:, 1] * bx + n[:, 2] * by + n[:, 0] * bw)
-    uvi = uv[:, 1] * bx + uv[:, 2] * by + uv[:, 0] * bw
+    pos = a[:, 3:6] * bx + a[:, 6:9] * by + a[:, 0:3] * bw
+    norm = m.normalize(a[:, 12:15] * bx + a[:, 15:18] * by + a[:, 9:12] * bw)
+    uvi = a[:, 20:22] * bx + a[:, 22:24] * by + a[:, 18:20] * bw
     return pos, norm, uvi
 
 
