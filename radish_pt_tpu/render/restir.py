@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from flax import struct
 
+import jax
 import jax.numpy as jnp
 
 from ..bsdf import materials as bsdf
@@ -111,13 +112,23 @@ def _big_w(res: DirectReservoir, p_hat_vec):
     return res.weight / jnp.maximum(scalar * res.num, 1e-12)
 
 
-def _gather(res: DirectReservoir, idx) -> DirectReservoir:
+def _pack(res: DirectReservoir, *extra) -> jnp.ndarray:
+    """Pack reservoir SoA (+ optional extra columns) into one [N, 9+] array
+    so a neighbor fetch is ONE divergent gather instead of 5-8 (gather cost
+    on TPU is per row; see utils/gather.py)."""
+    cols = [res.li, res.wi, res.dist[:, None], res.num[:, None],
+            res.weight[:, None]]
+    cols += [e if e.ndim == 2 else e[:, None] for e in extra]
+    return jnp.concatenate(cols, axis=1)
+
+
+def _unpack(row) -> DirectReservoir:
     return DirectReservoir(
-        li=res.li[idx],
-        wi=res.wi[idx],
-        dist=res.dist[idx],
-        num=res.num[idx],
-        weight=res.weight[idx],
+        li=row[..., 0:3],
+        wi=row[..., 3:6],
+        dist=row[..., 6],
+        num=row[..., 7],
+        weight=row[..., 8],
     )
 
 
@@ -140,16 +151,20 @@ def find_temporal_neighbor(
     last: GBufferFrame,
 ) -> DirectReservoir:
     """Gather last-frame reservoirs via motion indices with geometric
-    validation (findTemporalNeighbor, restir.cu:20-40)."""
+    validation (findTemporalNeighbor, restir.cu:20-40) — one packed gather."""
     last_idx = jnp.maximum(motion, 0)
+    packed = _pack(
+        reservoir, last.normal, last.prim_id.astype(jnp.float32)
+    )
+    row = packed[last_idx]
     ok = (motion >= 0) & (cur.prim_id > NULL_PRIMITIVE)
-    ok &= last.prim_id[last_idx] == cur.prim_id
-    ok &= m.abs_dot(cur.normal, last.normal[last_idx]) >= 0.1
-    return _mask_empty(_gather(reservoir, last_idx), ok)
+    ok &= row[..., 12].astype(jnp.int32) == cur.prim_id
+    ok &= m.abs_dot(cur.normal, row[..., 9:12]) >= 0.1
+    return _mask_empty(_unpack(row), ok)
 
 
 def _spatial_neighbor(
-    temp: DirectReservoir,
+    packed,  # [N, 14] reservoir + gbuffer columns (see merge_spatial)
     x,
     y,
     width: int,
@@ -158,21 +173,20 @@ def _spatial_neighbor(
     rand2,
 ):
     """One disk-sampled spatial neighbor with geometry tests
-    (findSpatialNeighborDisk, restir.cu:43-80)."""
+    (findSpatialNeighborDisk, restir.cu:43-80) — ONE gather per neighbor."""
     radius = 5.0
     p = m.concentric_sample_disk(rand2[..., 0], rand2[..., 1]) * radius
     px = (x.astype(jnp.float32) + 0.5 + p[..., 0]).astype(jnp.int32)
     py = (y.astype(jnp.float32) + 0.5 + p[..., 1]).astype(jnp.int32)
-    idx = y * width + x
     p_idx = jnp.clip(py * width + px, 0, width * height - 1)
+    row = packed[p_idx]
 
     ok = (px >= 0) & (px < width) & (py >= 0) & (py < height)
     ok &= ~((px == x) & (py == y))
-    ok &= cur.prim_id[p_idx] == cur.prim_id[idx]
-    ok &= m.dot(cur.normal[p_idx], cur.normal[idx]) >= 0.1
-    depth = cur.depth[idx]
-    ok &= jnp.abs(cur.depth[p_idx] - depth) <= depth * 0.1
-    return _mask_empty(_gather(temp, p_idx), ok)
+    ok &= row[..., 13].astype(jnp.int32) == cur.prim_id
+    ok &= m.dot(row[..., 9:12], cur.normal) >= 0.1
+    ok &= jnp.abs(row[..., 12] - cur.depth) <= cur.depth * 0.1
+    return _mask_empty(_unpack(row), ok)
 
 
 def merge_spatial(
@@ -191,10 +205,13 @@ def merge_spatial(
     idx = jnp.arange(n, dtype=jnp.int32)
     x = idx % width
     y = idx // width
+    packed = _pack(
+        temp, cur.normal, cur.depth, cur.prim_id.astype(jnp.float32)
+    )
     out = empty_reservoir(n)
     for _ in range(num_neighbors):
         r2, sampler = rng.sample_2d(table, sampler)
-        nb = _spatial_neighbor(temp, x, y, width, height, cur, r2)
+        nb = _spatial_neighbor(packed, x, y, width, height, cur, r2)
         r1, sampler = rng.sample_1d(table, sampler)
         out = _merge(out, nb, r1, ~_invalid(nb) & (nb.num > 0))
     return out, sampler
@@ -246,9 +263,10 @@ def restir_direct(
 
     shade = hit & ~is_light
 
-    # ---- candidate RIS over `reservoir_size` no-visibility light samples ----
-    res = empty_reservoir(n)
-    for _ in range(reservoir_size):
+    # ---- candidate RIS over `reservoir_size` no-visibility light samples
+    # (a fori_loop keeps compile time independent of the reservoir size) ----
+    def _candidate(_i, carry):
+        sampler, res = carry
         r4, sampler = rng.sample_4d(table, sampler)
         li, wi, dist, pdf = dsc.sample_direct_light_no_vis(ds, it.pos, r4)
         f = bsdf.bsdf_eval(mat, norm, wo, wi)
@@ -256,7 +274,11 @@ def restir_direct(
         w = m.length(p_hat) / jnp.maximum(pdf, 1e-12)
         w = jnp.where(jnp.isfinite(w) & (pdf > 0.0), w, 0.0)
         r1, sampler = rng.sample_1d(table, sampler)
-        res = _update(res, li, wi, dist, w, r1)
+        return sampler, _update(res, li, wi, dist, w, r1)
+
+    sampler, res = jax.lax.fori_loop(
+        0, reservoir_size, _candidate, (sampler, empty_reservoir(n))
+    )
 
     # ---- single visibility test on the winner (restir.cu:158-163) ----
     target = it.pos + res.wi * res.dist[..., None]

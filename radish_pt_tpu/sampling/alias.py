@@ -73,10 +73,12 @@ def alias_sample(prob: jnp.ndarray, alias: jnp.ndarray, r1, r2):
     r1, r2: uniform [0,1) arrays of any shape; returns int32 indices of the
     same shape.
     """
+    from ..utils.gather import take_rows
+
     n = prob.shape[0]
     idx = jnp.minimum((r1 * n).astype(jnp.int32), n - 1)
-    p = prob[idx]
-    a = alias[idx]
+    p = take_rows(prob, idx)
+    a = take_rows(alias, idx)
     return jnp.where(r2 < p, idx, a).astype(jnp.int32)
 
 

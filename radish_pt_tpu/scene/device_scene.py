@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from ..accel import traverse as trv
 from ..sampling.alias import alias_sample
 from ..utils import math as m
+from ..utils.gather import take_rows
 
 NULL_TEXTURE = -1
 PROCEDURAL_TEXTURE = -2
@@ -243,15 +244,36 @@ def get_textured_material(ds: DeviceScene, mat_id, uv, norm):
     (getTexturedMaterialAndSurface, scene.h:88-112).
 
     Returns (SurfaceMaterial, shading normal).
+
+    All per-material scalars are fetched as ONE packed [M,11] row (gather
+    cost is per row — utils/gather.py); for the typical handful of scene
+    materials the fetch lowers to a branchless select chain.
     """
     mid = jnp.maximum(mat_id, 0)
-    base = ds.mat_base_color[mid]
-    metallic = ds.mat_metallic[mid]
-    roughness = ds.mat_roughness[mid]
-    ior = ds.mat_ior[mid]
-    mtype = ds.mat_type[mid]
+    f32 = jnp.float32
+    col = lambda a: a.astype(f32)[:, None]  # noqa: E731
+    packed = jnp.concatenate(
+        [
+            col(ds.mat_type),
+            ds.mat_base_color,
+            col(ds.mat_metallic),
+            col(ds.mat_roughness),
+            col(ds.mat_ior),
+            col(ds.mat_color_map),
+            col(ds.mat_normal_map),
+            col(ds.mat_metallic_map),
+            col(ds.mat_roughness_map),
+        ],
+        axis=1,
+    )  # [M, 11]; int fields round-trip exactly through f32 (small values)
+    row = take_rows(packed, mid)
+    mtype = row[..., 0].astype(jnp.int32)
+    base = row[..., 1:4]
+    metallic = row[..., 4]
+    roughness = row[..., 5]
+    ior = row[..., 6]
 
-    cmap = ds.mat_color_map[mid]
+    cmap = row[..., 7].astype(jnp.int32)
     use_tex = cmap > NULL_TEXTURE
     use_proc = cmap == PROCEDURAL_TEXTURE
     if ds.tex_offset.shape[0] > 0:
@@ -261,19 +283,19 @@ def get_textured_material(ds: DeviceScene, mat_id, uv, norm):
     base = jnp.where(use_proc[..., None], procedural_texture(uv), jnp.where(use_tex[..., None], tex_col, base))
 
     if ds.tex_offset.shape[0] > 0:
-        mmap = ds.mat_metallic_map[mid]
+        mmap = row[..., 9].astype(jnp.int32)
         metallic = jnp.where(
             mmap > NULL_TEXTURE,
             _texture_bilinear(ds, jnp.maximum(mmap, 0), uv)[..., 0],
             metallic,
         )
-        rmap = ds.mat_roughness_map[mid]
+        rmap = row[..., 10].astype(jnp.int32)
         roughness = jnp.where(
             rmap > NULL_TEXTURE,
             _texture_bilinear(ds, jnp.maximum(rmap, 0), uv)[..., 0],
             roughness,
         )
-        nmap = ds.mat_normal_map[mid]
+        nmap = row[..., 8].astype(jnp.int32)
         mapped = _texture_bilinear(ds, jnp.maximum(nmap, 0), uv)
         local_n = m.normalize(mapped - 0.5)
         norm = jnp.where(
@@ -375,13 +397,20 @@ def sample_direct_light_no_vis(ds: DeviceScene, pos, r4):
     # --- area light branch ---
     if num_area > 0:
         lid = jnp.clip(light_id, 0, num_area - 1)
-        prim = ds.light_prim_ids[lid]
-        v = ds.tri_v[prim]
-        sampled = m.sample_triangle_uniform(
-            v[:, 0], v[:, 1], v[:, 2], r4[..., 2], r4[..., 3]
+        # one packed [L,12] row per lane (vertices + radiance); select chain
+        # for the typical few-light scene (utils/gather.py)
+        ltable = jnp.concatenate(
+            [
+                ds.tri_v[ds.light_prim_ids].reshape(-1, 9),
+                ds.light_radiance,
+            ],
+            axis=1,
         )
-        normal = m.triangle_normal(v[:, 0], v[:, 1], v[:, 2])
-        radiance = ds.light_radiance[lid]
+        lrow = take_rows(ltable, lid)
+        v0, v1, v2 = lrow[..., 0:3], lrow[..., 3:6], lrow[..., 6:9]
+        sampled = m.sample_triangle_uniform(v0, v1, v2, r4[..., 2], r4[..., 3])
+        normal = m.triangle_normal(v0, v1, v2)
+        radiance = lrow[..., 9:12]
         to_sampled = sampled - pos
         dist = m.length(to_sampled)
         wi = to_sampled / jnp.maximum(dist, 1e-12)[..., None]

@@ -1,0 +1,37 @@
+"""Row-fetch strategies tuned to the TPU gather cost model.
+
+Measured on v5e (tools/microbench.py, BASELINE.md): a divergent gather costs
+~3-8 ns per ROW regardless of row width, so
+
+* fetch all of a record in ONE packed wide row rather than several narrow
+  tables (5 gathers -> 1 is a 5x win), and
+* for tiny tables (a scene's 2 area lights, 5 materials) a branchless
+  compare/select chain over the rows beats the gather entirely
+  (~L*row_width vector ops vs ~5 ms per 640k-lane gather).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+# Above this many rows the select chain's L*width ops cost more than a
+# divergent gather; measured crossover is ~8-16 rows for 16-wide rows.
+SMALL_TABLE_MAX_ROWS = 8
+
+
+def take_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """``table[idx]`` for f32/i32 ``table [L, W]``, ``idx i32 [N]``.
+
+    Uses a branchless select chain when L <= SMALL_TABLE_MAX_ROWS (tiny
+    scene tables; ~free on the VPU), else a real gather.
+    """
+    n_rows = table.shape[0]
+    if n_rows == 1:
+        return jnp.broadcast_to(table[0], idx.shape + table.shape[1:])
+    if n_rows <= SMALL_TABLE_MAX_ROWS:
+        sel = idx[..., None] if table.ndim == 2 else idx
+        out = jnp.broadcast_to(table[0], idx.shape + table.shape[1:])
+        for j in range(1, n_rows):
+            out = jnp.where(sel == j, table[j], out)
+        return out
+    return table[idx]
