@@ -201,11 +201,175 @@ def occlusion_brute_pallas(tri_packed, x, y, interpret: bool = False):
     return (prim != NULL_PRIMITIVE) & (hit_dist < max_dist)
 
 
+# ---------------------------------------------------------------------------
+# MXU Plücker intersector
+# ---------------------------------------------------------------------------
+#
+# Möller–Trumbore's four decision quantities are all BILINEAR in per-ray
+# features and per-triangle coefficients (Plücker coordinates):
+#
+#   det    = d·(e2×e1)
+#   bx     = m·e2 − d·(e2×v0)          with m = o×d
+#   by     = −m·e1 + d·(e1×v0)
+#   t·det  = o·n − v0·n                with n = e1×e2
+#
+# so one [Tc,10] @ [10,128] MXU matmul per (tri-chunk, 128 rays) replaces the
+# ~22 VPU ops/pair of cross-product arithmetic, leaving a ~17 ops/pair
+# sign-free epilogue: multiplying the barycentric conditions through by det
+# (bx·det ∈ [0, det²], t·det·det > 0, det² ≥ eps²) needs no sign
+# normalization at all.  Origins are recentered on the scene to keep the
+# m = o×d features well-conditioned.
+
+PLUCKER_EPS2 = 1.1920929e-07 ** 2  # det² threshold == |det| >= eps
+
+
+def _plucker_kernel(
+    c_ref,  # [4, tri_chunk, 10] VMEM coefficient rows (det/bx/by/tdet)
+    f_ref,  # [10, RAY_BLOCK] VMEM ray features
+    prim_ref, dist_ref,  # outputs [RAY_BLOCK//128, 128]
+    *, tri_chunk: int,
+):
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _init():
+        prim_ref[:] = jnp.full_like(prim_ref, NULL_PRIMITIVE)
+        dist_ref[:] = jnp.full_like(dist_ref, FLT_MAX)
+
+    cd = c_ref[0]  # [Tc, 10]
+    cb = c_ref[1]
+    cy = c_ref[2]
+    ct = c_ref[3]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tri_chunk, 128), 0)
+    dot = lambda a, b: jax.lax.dot_general(  # noqa: E731
+        a, b, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+    for s in range(RAY_BLOCK // 128):
+        f = f_ref[:, s * 128:(s + 1) * 128]  # [10, 128]
+        det = dot(cd, f)  # [Tc, 128]
+        bx = dot(cb, f)
+        by = dot(cy, f)
+        td = dot(ct, f)
+
+        sd = det * det
+        v = jnp.minimum(bx * det, by * det)
+        v = jnp.minimum(v, sd - (bx + by) * det)
+        v = jnp.minimum(v, sd - PLUCKER_EPS2)
+        valid = (v >= 0.0) & (td * det > 0.0)
+        t = td / det
+        tval = jnp.where(valid, t, FLT_MAX)
+
+        tmin = jnp.min(tval, axis=0, keepdims=True)  # [1, 128]
+        ridx = jnp.min(
+            jnp.where(tval == tmin, rows, jnp.int32(0x7FFFFFFF)),
+            axis=0, keepdims=True,
+        )
+        row = pl.ds(s, 1)
+        upd = (tmin < dist_ref[row, :]) & (tmin < FLT_MAX)
+        dist_ref[row, :] = jnp.where(upd, tmin, dist_ref[row, :])
+        prim_ref[row, :] = jnp.where(
+            upd, c * tri_chunk + ridx, prim_ref[row, :]
+        )
+
+
+def _plucker_coeffs(tri_packed, center):
+    """Per-triangle coefficient rows [4, T, 10] from packed v0/e1/e2."""
+    v0 = tri_packed[:, 0:3] - center
+    e1 = tri_packed[:, 3:6]
+    e2 = tri_packed[:, 6:9]
+    n = jnp.cross(e1, e2)
+    z3 = jnp.zeros_like(v0)
+    z1 = jnp.zeros_like(v0[:, :1])
+    c_det = jnp.concatenate([jnp.cross(e2, e1), z3, z3, z1], axis=1)
+    c_bx = jnp.concatenate([-jnp.cross(e2, v0), e2, z3, z1], axis=1)
+    c_by = jnp.concatenate([jnp.cross(e1, v0), -e1, z3, z1], axis=1)
+    c_td = jnp.concatenate(
+        [z3, z3, n, -jnp.sum(v0 * n, axis=1, keepdims=True)], axis=1
+    )
+    return jnp.stack([c_det, c_bx, c_by, c_td], axis=0)  # [4, T, 10]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def intersect_plucker_pallas(tri_packed, ray_o, ray_d, interpret: bool = False):
+    """Closest hit over all triangles via the MXU Plücker formulation.
+
+    Returns (prim i32[N], dist f32[N]).  Barycentrics are NOT produced —
+    recover them by projecting the hit point onto the winning triangle
+    (device_scene.surface_info_from_t), which needs no extra gather.
+    """
+    n = ray_o.shape[0]
+    num_tris = tri_packed.shape[0]
+    n_pad = -(-n // RAY_BLOCK) * RAY_BLOCK
+    tri_chunk = min(TRI_CHUNK, -(-num_tris // TRI_SUB) * TRI_SUB)
+    t_pad = -(-num_tris // tri_chunk) * tri_chunk
+
+    v0 = tri_packed[:, 0:3]
+    center = jax.lax.stop_gradient(0.5 * (v0.min(axis=0) + v0.max(axis=0)))
+    coeffs = _plucker_coeffs(tri_packed, center)
+    # padding rows are all-zero -> det==0 -> never valid
+    coeffs = jnp.pad(coeffs, ((0, 0), (0, t_pad - num_tris), (0, 0)))
+
+    o = ray_o - center
+    m = jnp.cross(o, ray_d)
+    feats = jnp.concatenate(
+        [ray_d, m, o, jnp.ones_like(o[:, :1])], axis=1
+    )  # [N, 10]
+    feats = jnp.pad(feats, ((0, n_pad - n), (0, 0)), constant_values=1.0)
+    feats = feats.T  # [10, N_pad]
+
+    grid = (n_pad // RAY_BLOCK, t_pad // tri_chunk)
+    c_spec = pl.BlockSpec(
+        (4, tri_chunk, 10), lambda i, c: (0, c, 0), memory_space=pltpu.VMEM
+    )
+    f_spec = pl.BlockSpec(
+        (10, RAY_BLOCK), lambda i, c: (0, i), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (RAY_BLOCK // 128, 128), lambda i, c: (i, 0), memory_space=pltpu.VMEM
+    )
+    row_shape = (n_pad // 128, 128)
+    prim, dist = pl.pallas_call(
+        functools.partial(_plucker_kernel, tri_chunk=tri_chunk),
+        grid=grid,
+        in_specs=[c_spec, f_spec],
+        out_specs=[out_spec, out_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct(row_shape, jnp.int32),
+            jax.ShapeDtypeStruct(row_shape, jnp.float32),
+        ],
+        interpret=interpret,
+    )(coeffs, feats)
+
+    prim = prim.reshape(-1)[:n]
+    dist = dist.reshape(-1)[:n]
+    prim = jnp.where(dist < FLT_MAX, prim, NULL_PRIMITIVE)
+    return prim, dist
+
+
+def occlusion_plucker_pallas(tri_packed, x, y, interpret: bool = False):
+    """Shadow query via the MXU kernel (dense any-hit == closest-hit)."""
+    eps = 1e-4
+    d = y - x
+    dist = jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=-1), 1e-24))
+    dirn = d / dist[..., None]
+    max_dist = dist - eps
+    ori = x + dirn * 1e-5
+    prim, hit_dist = intersect_plucker_pallas(tri_packed, ori, dirn, interpret)
+    return (prim != NULL_PRIMITIVE) & (hit_dist < max_dist)
+
+
 # Above this triangle count the O(N*T) dense sweep loses to the BVH walk:
 # the sweep sustains ~7.7 G ray-tri tests/s (VPU-bound: ~8 ops/pair epilogue)
 # while the gather-bound lockstep walk costs ~45 ms per 25k-ray traversal
 # roughly independent of T — crossover around 10-20k triangles at 800^2.
 PALLAS_BRUTE_MAX_TRIS = 16384
+
+# The MXU Plücker sweep runs ~3x faster (~21 G pairs/s, epilogue-bound), so
+# its crossover against the lockstep walk sits ~3x higher.
+PALLAS_MXU_MAX_TRIS = 65536
 
 
 def pallas_available() -> bool:

@@ -122,12 +122,13 @@ def build_device_scene(
     bvh = build_bvh(tri_v.reshape(-1, 3))
 
     intersector = os.environ.get("RADISH_INTERSECTOR", "")
-    if intersector not in ("pallas_brute", "bvh", "brute"):
-        from ..accel.pallas_kernels import PALLAS_BRUTE_MAX_TRIS, pallas_available
+    if intersector not in ("pallas_mxu", "pallas_brute", "bvh", "brute"):
+        from ..accel.pallas_kernels import PALLAS_MXU_MAX_TRIS, pallas_available
 
-        if pallas_available() and num_tris <= PALLAS_BRUTE_MAX_TRIS:
-            # dense Pallas sweep beats the gather-bound walk up to ~100k tris
-            intersector = "pallas_brute"
+        if pallas_available() and num_tris <= PALLAS_MXU_MAX_TRIS:
+            # MXU Plücker sweep: the MT arithmetic rides the MXU, leaving a
+            # ~17 ops/pair VPU epilogue — ~3x the VPU dense sweep
+            intersector = "pallas_mxu"
         elif use_bvh:
             intersector = "bvh"
         else:

@@ -208,10 +208,48 @@ def surface_info(ds: DeviceScene, prim_id, bary) -> tuple:
     return pos, norm, uvi
 
 
+def surface_info_from_t(ds: DeviceScene, prim_id, ray_o, ray_d, dist):
+    """Position/normal/uv from the hit DISTANCE alone (MXU intersector path).
+
+    The Plücker kernel returns (prim, t) without barycentrics; project the
+    hit point onto the winning triangle's edge basis to recover them — uses
+    the same single [T,24] attribute gather as :func:`surface_info`, so no
+    extra memory traffic.  The position is then re-interpolated
+    barycentrically, which puts it exactly on the triangle plane (better for
+    the self-intersection epsilon than o + t*d).
+    """
+    a = ds.tri_attr[jnp.maximum(prim_id, 0)]
+    v0 = a[:, 0:3]
+    e1 = a[:, 3:6] - v0
+    e2 = a[:, 6:9] - v0
+    p = ray_o + ray_d * jnp.minimum(dist, 1e8)[..., None] - v0
+    d11 = m.dot(e1, e1)
+    d12 = m.dot(e1, e2)
+    d22 = m.dot(e2, e2)
+    p1 = m.dot(p, e1)
+    p2 = m.dot(p, e2)
+    inv = 1.0 / jnp.maximum(d11 * d22 - d12 * d12, 1e-30)
+    bx = ((d22 * p1 - d12 * p2) * inv)[..., None]
+    by = ((d11 * p2 - d12 * p1) * inv)[..., None]
+    bw = 1.0 - bx - by
+    pos = v0 + e1 * bx + e2 * by
+    norm = m.normalize(a[:, 12:15] * bx + a[:, 15:18] * by + a[:, 9:12] * bw)
+    uvi = a[:, 20:22] * bx + a[:, 22:24] * by + a[:, 18:20] * bw
+    return pos, norm, uvi
+
+
 def intersect(ds: DeviceScene, ray_o, ray_d) -> Interaction:
     """Closest hit + surface interpolation (DevScene::intersect, scene.h:262-301).
-    Static dispatch over the scene's intersector (Pallas dense sweep / MTBVH
-    walk / XLA dense sweep)."""
+    Static dispatch over the scene's intersector (MXU Plücker sweep / Pallas
+    VPU sweep / MTBVH walk / XLA dense sweep)."""
+    if ds.intersector == "pallas_mxu":
+        from ..accel.pallas_kernels import intersect_plucker_pallas
+
+        prim, dist = intersect_plucker_pallas(ds.tri_packed, ray_o, ray_d)
+        pos, norm, uv = surface_info_from_t(ds, prim, ray_o, ray_d, dist)
+        mat_id = ds.material_ids[jnp.maximum(prim, 0)]
+        mat_id = jnp.where(prim >= 0, mat_id, -1)
+        return Interaction(prim_id=prim, mat_id=mat_id, pos=pos, norm=norm, uv=uv)
     if ds.intersector == "pallas_brute":
         from ..accel.pallas_kernels import intersect_brute_pallas
 
@@ -230,6 +268,10 @@ def intersect(ds: DeviceScene, ray_o, ray_d) -> Interaction:
 
 def test_occlusion(ds: DeviceScene, x, y):
     """True where segment x->y is blocked (testOcclusion, scene.h:303-334)."""
+    if ds.intersector == "pallas_mxu":
+        from ..accel.pallas_kernels import occlusion_plucker_pallas
+
+        return occlusion_plucker_pallas(ds.tri_packed, x, y)
     if ds.intersector == "pallas_brute":
         from ..accel.pallas_kernels import occlusion_brute_pallas
 

@@ -45,7 +45,7 @@ def main():
     depth = int(sys.argv[2]) if len(sys.argv) > 2 else 5
     desc = parse_scene(scene_path)
 
-    for isector in ("pallas_brute", "bvh"):
+    for isector in ("pallas_mxu", "pallas_brute"):
         ds, cam = sbuild.build_device_scene(desc)
         ds = ds.replace(intersector=isector)
         n = cam.width * cam.height
