@@ -221,13 +221,15 @@ def occlusion_brute_pallas(tri_packed, x, y, interpret: bool = False):
 # m = o×d features well-conditioned.
 
 PLUCKER_EPS2 = 1.1920929e-07 ** 2  # det² threshold == |det| >= eps
+CLUSTER_SUB = 64  # triangles per cullable sub-cluster (one SMEM mask bit)
 
 
 def _plucker_kernel(
-    c_ref,  # [4, tri_chunk, 10] VMEM coefficient rows (det/bx/by/tdet)
+    mask_ref,  # SMEM i32 [n_blocks, n_chunks]: bit s => sweep sub-cluster s
+    c_ref,  # [5, tri_chunk, 10] VMEM coefficient rows (det/bx/by/tdet/id)
     f_ref,  # [10, RAY_BLOCK] VMEM ray features
     prim_ref, dist_ref,  # outputs [RAY_BLOCK//128, 128]
-    *, tri_chunk: int,
+    *, tri_chunk: int, sub: int,
 ):
     c = pl.program_id(1)
 
@@ -236,47 +238,56 @@ def _plucker_kernel(
         prim_ref[:] = jnp.full_like(prim_ref, NULL_PRIMITIVE)
         dist_ref[:] = jnp.full_like(dist_ref, FLT_MAX)
 
-    cd = c_ref[0]  # [Tc, 10]
-    cb = c_ref[1]
-    cy = c_ref[2]
-    ct = c_ref[3]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (tri_chunk, 128), 0)
     dot = lambda a, b: jax.lax.dot_general(  # noqa: E731
         a, b, (((1,), (0,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     )
+    mask = mask_ref[pl.program_id(0), c]
 
-    for s in range(RAY_BLOCK // 128):
-        f = f_ref[:, s * 128:(s + 1) * 128]  # [10, 128]
-        det = dot(cd, f)  # [Tc, 128]
-        bx = dot(cb, f)
-        by = dot(cy, f)
-        td = dot(ct, f)
+    for s in range(tri_chunk // sub):
+        rows = pl.ds(s * sub, sub)
+        cd = c_ref[0, rows, :]  # [sub, 10]
+        cb = c_ref[1, rows, :]
+        cy = c_ref[2, rows, :]
+        ct = c_ref[3, rows, :]
+        ci = c_ref[4, rows, :]
 
-        sd = det * det
-        v = jnp.minimum(bx * det, by * det)
-        v = jnp.minimum(v, sd - (bx + by) * det)
-        v = jnp.minimum(v, sd - PLUCKER_EPS2)
-        valid = (v >= 0.0) & (td * det > 0.0)
-        t = td / det
-        tval = jnp.where(valid, t, FLT_MAX)
+        @pl.when((mask >> s) & 1 != 0)
+        def _sweep(cd=cd, cb=cb, cy=cy, ct=ct, ci=ci):
+            for r in range(RAY_BLOCK // 128):
+                f = f_ref[:, r * 128:(r + 1) * 128]  # [10, 128]
+                det = dot(cd, f)  # [sub, 128]
+                bx = dot(cb, f)
+                by = dot(cy, f)
+                td = dot(ct, f)
+                ids = dot(ci, f)  # permuted prim id (f32 exact to 2^24)
 
-        tmin = jnp.min(tval, axis=0, keepdims=True)  # [1, 128]
-        ridx = jnp.min(
-            jnp.where(tval == tmin, rows, jnp.int32(0x7FFFFFFF)),
-            axis=0, keepdims=True,
-        )
-        row = pl.ds(s, 1)
-        upd = (tmin < dist_ref[row, :]) & (tmin < FLT_MAX)
-        dist_ref[row, :] = jnp.where(upd, tmin, dist_ref[row, :])
-        prim_ref[row, :] = jnp.where(
-            upd, c * tri_chunk + ridx, prim_ref[row, :]
-        )
+                sd = det * det
+                v = jnp.minimum(bx * det, by * det)
+                v = jnp.minimum(v, sd - (bx + by) * det)
+                v = jnp.minimum(v, sd - PLUCKER_EPS2)
+                valid = (v >= 0.0) & (td * det > 0.0)
+                t = td / det
+                tval = jnp.where(valid, t, FLT_MAX)
+
+                tmin = jnp.min(tval, axis=0, keepdims=True)  # [1, 128]
+                idmin = jnp.min(
+                    jnp.where(tval == tmin, ids, FLT_MAX),
+                    axis=0, keepdims=True,
+                )
+                row = pl.ds(r, 1)
+                upd = (tmin < dist_ref[row, :]) & (tmin < FLT_MAX)
+                dist_ref[row, :] = jnp.where(upd, tmin, dist_ref[row, :])
+                prim_ref[row, :] = jnp.where(
+                    upd, idmin.astype(jnp.int32), prim_ref[row, :]
+                )
 
 
-def _plucker_coeffs(tri_packed, center):
-    """Per-triangle coefficient rows [4, T, 10] from packed v0/e1/e2."""
+def _plucker_coeffs(tri_packed, center, prim_ids):
+    """Per-triangle coefficient rows [5, T, 10] from packed v0/e1/e2; the
+    fifth group carries the ORIGINAL prim id in the constant-1 slot so the
+    kernel emits real ids for spatially permuted triangles for free."""
     v0 = tri_packed[:, 0:3] - center
     e1 = tri_packed[:, 3:6]
     e2 = tri_packed[:, 6:9]
@@ -289,28 +300,94 @@ def _plucker_coeffs(tri_packed, center):
     c_td = jnp.concatenate(
         [z3, z3, n, -jnp.sum(v0 * n, axis=1, keepdims=True)], axis=1
     )
-    return jnp.stack([c_det, c_bx, c_by, c_td], axis=0)  # [4, T, 10]
+    c_id = jnp.concatenate(
+        [z3, z3, z3, prim_ids.astype(jnp.float32)[:, None]], axis=1
+    )
+    return jnp.stack([c_det, c_bx, c_by, c_td, c_id], axis=0)  # [5, T, 10]
+
+
+def _cluster_mask_bits(cluster_bounds, ray_o, ray_d, tmax, n_blocks, n_chunks,
+                       subs_per_chunk):
+    """XLA prepass: per (1024-ray block, tri chunk) bitmask of sub-clusters
+    any ray in the block might hit (conservative slab test, entry < tmax)."""
+    n_pad = n_blocks * RAY_BLOCK
+    o = jnp.pad(ray_o, ((0, n_pad - ray_o.shape[0]), (0, 0)))
+    d = jnp.pad(ray_d, ((0, n_pad - ray_d.shape[0]), (0, 0)),
+                constant_values=1.0)
+    if tmax is None:
+        tm = jnp.full((n_pad, 1), FLT_MAX)
+    else:
+        tm = jnp.pad(tmax, (0, n_pad - tmax.shape[0]))[:, None]
+    inv = 1.0 / jnp.where(jnp.abs(d) > 1e-12, d, 1e-12)
+    tn = jnp.full((n_pad, cluster_bounds.shape[0]), -FLT_MAX)
+    tf = jnp.full((n_pad, cluster_bounds.shape[0]), FLT_MAX)
+    for k in range(3):
+        a = (cluster_bounds[None, :, k] - o[:, k, None]) * inv[:, k, None]
+        b = (cluster_bounds[None, :, 3 + k] - o[:, k, None]) * inv[:, k, None]
+        tn = jnp.maximum(tn, jnp.minimum(a, b))
+        tf = jnp.minimum(tf, jnp.maximum(a, b))
+    hit = (tf >= jnp.maximum(tn, 0.0)) & (tn < tm)  # [n_pad, C]
+    hit = hit.reshape(n_blocks, RAY_BLOCK, -1).any(axis=1)  # [n_blocks, C]
+    c_tot = hit.shape[-1]
+    pad_c = n_chunks * subs_per_chunk - c_tot
+    hit = jnp.pad(hit, ((0, 0), (0, pad_c)))
+    bits = hit.reshape(n_blocks, n_chunks, subs_per_chunk).astype(jnp.int32)
+    weights = (1 << jnp.arange(subs_per_chunk, dtype=jnp.int32))[None, None]
+    return jnp.sum(bits * weights, axis=-1, dtype=jnp.int32)  # [n_blocks, n_chunks]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def intersect_plucker_pallas(tri_packed, ray_o, ray_d, interpret: bool = False):
+def intersect_plucker_pallas(
+    tri_packed, ray_o, ray_d,
+    tri_order=None, cluster_bounds=None, tmax=None,
+    interpret: bool = False,
+):
     """Closest hit over all triangles via the MXU Plücker formulation.
 
     Returns (prim i32[N], dist f32[N]).  Barycentrics are NOT produced —
     recover them by projecting the hit point onto the winning triangle
     (device_scene.surface_info_from_t), which needs no extra gather.
+
+    ``tri_order`` (i32 [T], a spatial permutation, e.g. BVH leaf order) and
+    ``cluster_bounds`` (f32 [C, 6] AABBs over consecutive CLUSTER_SUB-sized
+    groups of the PERMUTED triangles) enable per-ray-block sub-cluster
+    culling: a slab-test prepass builds one bitmask per (block, chunk) and
+    the kernel skips unflagged 64-triangle groups with a scalar branch.
+    ``tmax`` (f32 [N]) tightens the prepass for segment queries (shadows).
     """
     n = ray_o.shape[0]
     num_tris = tri_packed.shape[0]
     n_pad = -(-n // RAY_BLOCK) * RAY_BLOCK
-    tri_chunk = min(TRI_CHUNK, -(-num_tris // TRI_SUB) * TRI_SUB)
+    if num_tris > CLUSTER_SUB:
+        sub = CLUSTER_SUB
+        tri_chunk = min(TRI_CHUNK, -(-num_tris // sub) * sub)
+    else:
+        tri_chunk = -(-num_tris // TRI_SUB) * TRI_SUB
+        sub = tri_chunk
     t_pad = -(-num_tris // tri_chunk) * tri_chunk
+    n_blocks = n_pad // RAY_BLOCK
+    n_chunks = t_pad // tri_chunk
+    subs_per_chunk = tri_chunk // sub
+
+    if tri_order is not None:
+        tri_packed = tri_packed[tri_order]
+        prim_ids = tri_order
+    else:
+        prim_ids = jnp.arange(num_tris, dtype=jnp.int32)
 
     v0 = tri_packed[:, 0:3]
     center = jax.lax.stop_gradient(0.5 * (v0.min(axis=0) + v0.max(axis=0)))
-    coeffs = _plucker_coeffs(tri_packed, center)
+    coeffs = _plucker_coeffs(tri_packed, center, prim_ids)
     # padding rows are all-zero -> det==0 -> never valid
     coeffs = jnp.pad(coeffs, ((0, 0), (0, t_pad - num_tris), (0, 0)))
+
+    if cluster_bounds is not None:
+        mask = _cluster_mask_bits(
+            cluster_bounds, ray_o, ray_d, tmax,
+            n_blocks, n_chunks, subs_per_chunk,
+        )
+    else:
+        mask = jnp.full((n_blocks, n_chunks), -1, jnp.int32)  # all bits set
 
     o = ray_o - center
     m = jnp.cross(o, ray_d)
@@ -320,9 +397,12 @@ def intersect_plucker_pallas(tri_packed, ray_o, ray_d, interpret: bool = False):
     feats = jnp.pad(feats, ((0, n_pad - n), (0, 0)), constant_values=1.0)
     feats = feats.T  # [10, N_pad]
 
-    grid = (n_pad // RAY_BLOCK, t_pad // tri_chunk)
+    grid = (n_blocks, n_chunks)
+    mask_spec = pl.BlockSpec(
+        (n_blocks, n_chunks), lambda i, c: (0, 0), memory_space=pltpu.SMEM
+    )
     c_spec = pl.BlockSpec(
-        (4, tri_chunk, 10), lambda i, c: (0, c, 0), memory_space=pltpu.VMEM
+        (5, tri_chunk, 10), lambda i, c: (0, c, 0), memory_space=pltpu.VMEM
     )
     f_spec = pl.BlockSpec(
         (10, RAY_BLOCK), lambda i, c: (0, i), memory_space=pltpu.VMEM
@@ -332,16 +412,16 @@ def intersect_plucker_pallas(tri_packed, ray_o, ray_d, interpret: bool = False):
     )
     row_shape = (n_pad // 128, 128)
     prim, dist = pl.pallas_call(
-        functools.partial(_plucker_kernel, tri_chunk=tri_chunk),
+        functools.partial(_plucker_kernel, tri_chunk=tri_chunk, sub=sub),
         grid=grid,
-        in_specs=[c_spec, f_spec],
+        in_specs=[mask_spec, c_spec, f_spec],
         out_specs=[out_spec, out_spec],
         out_shape=[
             jax.ShapeDtypeStruct(row_shape, jnp.int32),
             jax.ShapeDtypeStruct(row_shape, jnp.float32),
         ],
         interpret=interpret,
-    )(coeffs, feats)
+    )(mask, coeffs, feats)
 
     prim = prim.reshape(-1)[:n]
     dist = dist.reshape(-1)[:n]
@@ -349,15 +429,22 @@ def intersect_plucker_pallas(tri_packed, ray_o, ray_d, interpret: bool = False):
     return prim, dist
 
 
-def occlusion_plucker_pallas(tri_packed, x, y, interpret: bool = False):
-    """Shadow query via the MXU kernel (dense any-hit == closest-hit)."""
+def occlusion_plucker_pallas(tri_packed, x, y,
+                             tri_order=None, cluster_bounds=None,
+                             interpret: bool = False):
+    """Shadow query via the MXU kernel; the segment length bounds the
+    culling prepass (clusters beyond the light are skipped)."""
     eps = 1e-4
     d = y - x
     dist = jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=-1), 1e-24))
     dirn = d / dist[..., None]
     max_dist = dist - eps
     ori = x + dirn * 1e-5
-    prim, hit_dist = intersect_plucker_pallas(tri_packed, ori, dirn, interpret)
+    prim, hit_dist = intersect_plucker_pallas(
+        tri_packed, ori, dirn,
+        tri_order=tri_order, cluster_bounds=cluster_bounds, tmax=max_dist,
+        interpret=interpret,
+    )
     return (prim != NULL_PRIMITIVE) & (hit_dist < max_dist)
 
 

@@ -163,11 +163,12 @@ def path_trace(
             cos_term / jnp.maximum(samp.pdf, 1e-12)
         )[..., None]
 
-        # ---- extend ray (pathtrace.cu:225-228) ----
+        # ---- extend ray (pathtrace.cu:225-228); bounce rays are divergent,
+        # so sort them by (octant, origin cell) to keep block culling alive
         prev_pos = pos
         ray_d = samp.dir
         ray_o = prev_pos + ray_d * 1e-5
-        it = dsc.intersect(ds, ray_o, ray_d)
+        it = dsc.intersect_sorted(ds, ray_o, ray_d)
         pos = it.pos
 
         miss = active & (it.prim_id == NULL_PRIMITIVE)

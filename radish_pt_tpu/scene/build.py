@@ -134,6 +134,23 @@ def build_device_scene(
         else:
             intersector = "brute"
 
+    # ---- spatial permutation + culling clusters for the MXU intersector ----
+    # BVH leaf (DFS) order groups spatially close triangles; AABBs over
+    # consecutive 64-triangle groups drive per-ray-block sub-cluster culling
+    lm = np.asarray(bvh.leaf_map)
+    tri_order = lm[lm >= 0].astype(np.int32)
+    assert tri_order.size == num_tris, "leaf_map must cover every triangle"
+    cluster_bounds = None
+    if num_tris > 64:
+        tvp = tri_v[tri_order]  # [T, 3, 3] permuted
+        n_clusters = -(-num_tris // 64)
+        cb = np.empty((n_clusters, 6), np.float32)
+        for ci in range(n_clusters):
+            g = tvp[ci * 64:(ci + 1) * 64].reshape(-1, 3)
+            cb[ci, 0:3] = g.min(axis=0)
+            cb[ci, 3:6] = g.max(axis=0)
+        cluster_bounds = cb
+
     # ---- textures ----
     tex_data, tex_off, tex_w, tex_h = pack_textures(scene.textures)
 
@@ -165,6 +182,10 @@ def build_device_scene(
         bounds_max=jnp.asarray(bvh.bounds_max),
         bvh_packed=jnp.asarray(pack_bvh(bvh)),
         tri_packed=jnp.asarray(pack_tris(tri_v)),
+        tri_order=jnp.asarray(tri_order),
+        cluster_bounds=(
+            jnp.asarray(cluster_bounds) if cluster_bounds is not None else None
+        ),
         leaf_tris=jnp.asarray(bvh.leaf_tris),
         leaf_map=jnp.asarray(bvh.leaf_map),
         mat_type=jnp.asarray([m.mtype for m in mats], jnp.int32),

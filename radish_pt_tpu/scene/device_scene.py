@@ -74,6 +74,10 @@ class DeviceScene:
     bounds_max: jnp.ndarray = None  # f32 [B, 3]
     bvh_packed: jnp.ndarray = None  # f32 [6*B, 8] packed node table
     tri_packed: jnp.ndarray = None  # f32 [T, 9] v0/e01/e02 components
+    # spatial (BVH leaf order) permutation + per-64-tri cluster AABBs for the
+    # MXU intersector's per-ray-block culling (None to disable)
+    tri_order: jnp.ndarray = None  # i32 [T]
+    cluster_bounds: jnp.ndarray = None  # f32 [C, 6] (min.xyz, max.xyz)
     leaf_tris: jnp.ndarray = None  # f32 [R, L*9] padded leaf-major tris
     leaf_map: jnp.ndarray = None  # i32 [R*L] leaf slot -> prim id
 
@@ -245,7 +249,10 @@ def intersect(ds: DeviceScene, ray_o, ray_d) -> Interaction:
     if ds.intersector == "pallas_mxu":
         from ..accel.pallas_kernels import intersect_plucker_pallas
 
-        prim, dist = intersect_plucker_pallas(ds.tri_packed, ray_o, ray_d)
+        prim, dist = intersect_plucker_pallas(
+            ds.tri_packed, ray_o, ray_d,
+            tri_order=ds.tri_order, cluster_bounds=ds.cluster_bounds,
+        )
         pos, norm, uv = surface_info_from_t(ds, prim, ray_o, ray_d, dist)
         mat_id = ds.material_ids[jnp.maximum(prim, 0)]
         mat_id = jnp.where(prim >= 0, mat_id, -1)
@@ -266,12 +273,82 @@ def intersect(ds: DeviceScene, ray_o, ray_d) -> Interaction:
     return Interaction(prim_id=prim, mat_id=mat_id, pos=pos, norm=norm, uv=uv)
 
 
+def intersect_sorted(ds: DeviceScene, ray_o, ray_d) -> Interaction:
+    """Closest hit for DIVERGENT wavefronts (bounce rays): sort rays by
+    (direction octant, origin cell) so each 1024-ray kernel block shares a
+    direction cone and an origin region, which restores the per-block
+    sub-cluster culling that coherent primaries get for free.  XLA's TPU sort
+    on small keys costs ~1-3 ms at 640k lanes; the two permutation gathers
+    ~10 ms — worth it once the dense sweep exceeds a few tens of ms.
+
+    Results are bitwise identical to :func:`intersect` (per-ray independent
+    math + exact f32 id round-trip), for any intersector.
+    """
+    if ds.cluster_bounds is None:
+        return intersect(ds, ray_o, ray_d)
+
+    perm = jnp.argsort(_sort_key(ds, ray_o, ray_d))
+
+    rays = jnp.concatenate([ray_o, ray_d], axis=1)[perm]
+    it = intersect(ds, rays[:, 0:3], rays[:, 3:6])
+
+    n = ray_o.shape[0]
+    inv = jnp.zeros(n, jnp.int32).at[perm].set(jnp.arange(n, dtype=jnp.int32))
+    # one packed gather back to pixel order (ids are exact in f32)
+    packed = jnp.concatenate(
+        [
+            it.prim_id.astype(jnp.float32)[:, None],
+            it.mat_id.astype(jnp.float32)[:, None],
+            it.pos, it.norm, it.uv,
+        ],
+        axis=1,
+    )[inv]
+    return Interaction(
+        prim_id=packed[:, 0].astype(jnp.int32),
+        mat_id=packed[:, 1].astype(jnp.int32),
+        pos=packed[:, 2:5],
+        norm=packed[:, 5:8],
+        uv=packed[:, 8:10],
+    )
+
+
+def _sort_key(ds: DeviceScene, ray_o, ray_d):
+    """(direction octant, origin cell) sort key for ray coherence."""
+    lo = ds.cluster_bounds[:, 0:3].min(axis=0)
+    hi = ds.cluster_bounds[:, 3:6].max(axis=0)
+    q = jnp.clip((ray_o - lo) / jnp.maximum(hi - lo, 1e-6), 0.0, 0.999)
+    cell = (q * 8.0).astype(jnp.int32)  # 3 bits per axis
+    octant = (
+        (ray_d[:, 0] > 0).astype(jnp.int32) * 4
+        + (ray_d[:, 1] > 0).astype(jnp.int32) * 2
+        + (ray_d[:, 2] > 0).astype(jnp.int32)
+    )
+    return ((octant * 8 + cell[:, 0]) * 8 + cell[:, 1]) * 8 + cell[:, 2]
+
+
+def test_occlusion_sorted(ds: DeviceScene, x, y):
+    """Occlusion for divergent shadow wavefronts — same ray sorting as
+    :func:`intersect_sorted`; the unpermute is one cheap [N] gather."""
+    if ds.cluster_bounds is None:
+        return test_occlusion(ds, x, y)
+    d = y - x
+    perm = jnp.argsort(_sort_key(ds, x, d))
+    seg = jnp.concatenate([x, y], axis=1)[perm]
+    occ = test_occlusion(ds, seg[:, 0:3], seg[:, 3:6])
+    n = x.shape[0]
+    inv = jnp.zeros(n, jnp.int32).at[perm].set(jnp.arange(n, dtype=jnp.int32))
+    return occ[inv]
+
+
 def test_occlusion(ds: DeviceScene, x, y):
     """True where segment x->y is blocked (testOcclusion, scene.h:303-334)."""
     if ds.intersector == "pallas_mxu":
         from ..accel.pallas_kernels import occlusion_plucker_pallas
 
-        return occlusion_plucker_pallas(ds.tri_packed, x, y)
+        return occlusion_plucker_pallas(
+            ds.tri_packed, x, y,
+            tri_order=ds.tri_order, cluster_bounds=ds.cluster_bounds,
+        )
     if ds.intersector == "pallas_brute":
         from ..accel.pallas_kernels import occlusion_brute_pallas
 
@@ -486,7 +563,7 @@ def sample_direct_light(ds: DeviceScene, pos, r4):
     Returns (radiance, wi, pdf); pdf <= 0 when invalid or occluded."""
     radiance, wi, dist, pdf = sample_direct_light_no_vis(ds, pos, r4)
     target = pos + wi * dist[..., None]
-    occ = test_occlusion(ds, pos, target)
+    occ = test_occlusion_sorted(ds, pos, target)
     pdf = jnp.where(occ, INVALID_PDF, pdf)
     return radiance, wi, pdf
 

@@ -53,6 +53,35 @@ def test_plucker_matches_xla(scene_rays):
     )
 
 
+def test_plucker_culled_matches_uncached(scene_rays):
+    """Spatial permutation + cluster-mask culling must not change results
+    (conservative culling; ids mapped back through the 5th matmul group)."""
+    tri_packed, ray_o, ray_d = scene_rays
+    t = tri_packed.shape[0]
+    rng = np.random.default_rng(11)
+    order = jnp.asarray(rng.permutation(t).astype(np.int32))
+    tp = np.asarray(tri_packed)[np.asarray(order)]
+    v = np.stack(
+        [tp[:, 0:3], tp[:, 0:3] + tp[:, 3:6], tp[:, 0:3] + tp[:, 6:9]], axis=1
+    )
+    n_clusters = -(-t // 64)
+    cb = np.empty((n_clusters, 6), np.float32)
+    for ci in range(n_clusters):
+        g = v[ci * 64:(ci + 1) * 64].reshape(-1, 3)
+        cb[ci, 0:3] = g.min(axis=0)
+        cb[ci, 3:6] = g.max(axis=0)
+    p0, d0 = intersect_plucker_pallas(tri_packed, ray_o, ray_d, interpret=True)
+    p1, d1 = intersect_plucker_pallas(
+        tri_packed, ray_o, ray_d,
+        tri_order=order, cluster_bounds=jnp.asarray(cb), interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p0))
+    hits = np.asarray(p0) >= 0
+    np.testing.assert_allclose(
+        np.asarray(d1)[hits], np.asarray(d0)[hits], rtol=1e-5
+    )
+
+
 def test_plucker_surface_recovery(scene_rays):
     """surface_info_from_t's projected barycentrics match the explicit
     barycentrics from the VPU sweep."""

@@ -137,3 +137,29 @@ def test_env_scene_build():
     assert float(dsc.env_map_pdf(ds, wi)[0]) > 0
     # alias table covers area lights + env slot
     assert ds.light_alias_prob.shape[0] == ds.n_area_lights + 1
+
+
+def test_intersect_sorted_matches_unsorted():
+    """Ray sorting + unpermute must be an exact no-op on results."""
+    import jax.numpy as jnp
+
+    from radish_pt_tpu.scene import build as sbuild
+    from radish_pt_tpu.scene import device_scene as dsc
+    from radish_pt_tpu.scene.parser import parse_scene
+
+    ds, cam = sbuild.build_device_scene(parse_scene("scenes/teapot.txt"))
+    assert ds.cluster_bounds is not None
+    rng = np.random.default_rng(9)
+    n = 512
+    o = jnp.asarray(rng.uniform(-3, 3, size=(n, 3)).astype(np.float32))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d)
+    it0 = dsc.intersect(ds, o, d)
+    it1 = dsc.intersect_sorted(ds, o, d)
+    np.testing.assert_array_equal(np.asarray(it1.prim_id), np.asarray(it0.prim_id))
+    np.testing.assert_array_equal(np.asarray(it1.pos), np.asarray(it0.pos))
+    y = o + d * 2.0
+    o0 = dsc.test_occlusion(ds, o, y)
+    o1 = dsc.test_occlusion_sorted(ds, o, y)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o0))

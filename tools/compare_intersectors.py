@@ -62,9 +62,12 @@ def main():
                      ray_o, ray_d)
         t_div = _run(jax.jit(lambda o, d: dsc.intersect(ds, o, d).prim_id),
                      pos + sec_d * 1e-4, sec_d)
+        t_srt = _run(jax.jit(lambda o, d: dsc.intersect_sorted(ds, o, d).prim_id),
+                     pos + sec_d * 1e-4, sec_d)
         t_frame = _run(jax.jit(lambda lo: pt.path_trace(ds, cam, lo, depth)), 7)
         print(f"{isector:14s} tris={ds.num_triangles}  primary={t_coh:8.1f} ms  "
-              f"divergent={t_div:8.1f} ms  frame(d{depth})={t_frame:8.1f} ms")
+              f"divergent={t_div:8.1f} ms  sorted={t_srt:8.1f} ms  "
+              f"frame(d{depth})={t_frame:8.1f} ms")
 
 
 if __name__ == "__main__":

@@ -163,3 +163,58 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def bench_sort():
+    key = jax.random.PRNGKey(1)
+    x0 = jnp.zeros(N)
+    d = jax.random.normal(key, (N, 3))
+    o = jax.random.normal(key, (N, 3))
+
+    def keys_only(c, d):
+        dd = d + c[:, None]
+        k = ((dd[:, 0] > 0) * 4 + (dd[:, 1] > 0) * 2 + (dd[:, 2] > 0)).astype(jnp.int32)
+        return k.astype(jnp.float32)
+
+    slope("octant key compute", keys_only, x0, d)
+
+    def argsort_oct(c, d):
+        k = ((d[:, 0] > 0) * 4 + (d[:, 1] > 0) * 2 + (d[:, 2] > 0)).astype(jnp.int32)
+        k = k + (c[:1] * 1e-30).astype(jnp.int32).sum()
+        return jnp.argsort(k).astype(jnp.float32)
+
+    slope("argsort 640k (3-bit keys)", argsort_oct, x0, d)
+
+    def argsort_12(c, d, o):
+        k = ((d[:, 0] > 0) * 4 + (d[:, 1] > 0) * 2 + (d[:, 2] > 0)).astype(jnp.int32)
+        cell = (jnp.clip((o[:, 0] + 4) / 8, 0, 1) * 7).astype(jnp.int32)
+        k = k * 8 + cell + (c[:1] * 1e-30).astype(jnp.int32).sum()
+        return jnp.argsort(k).astype(jnp.float32)
+
+    slope("argsort 640k (6-bit keys)", argsort_12, x0, d, o)
+
+    # bucket-rank permutation: one-hot cumsum over 8 octants
+    def bucket_rank(c, d):
+        k = ((d[:, 0] > 0) * 4 + (d[:, 1] > 0) * 2 + (d[:, 2] > 0)).astype(jnp.int32)
+        k = k + (c[:1] * 1e-30).astype(jnp.int32).sum()
+        oh = jax.nn.one_hot(k, 8, dtype=jnp.int32)  # [N, 8]
+        ranks = jnp.cumsum(oh, axis=0) - oh  # rank within bucket
+        counts = oh.sum(axis=0)
+        starts = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]])
+        pos = (ranks + starts[None, :])[jnp.arange(k.shape[0]), k]
+        return pos.astype(jnp.float32)
+
+    slope("bucket-rank permutation (8 buckets)", bucket_rank, x0, d)
+
+    # permute + unpermute round trip of a packed [N, 10]
+    perm = jax.random.permutation(key, N)
+    data = jax.random.normal(key, (N, 10))
+
+    def permute_rt(c, perm, data):
+        p = (perm + (c * 1e30).astype(jnp.int32)) % N
+        return data[p].sum(axis=-1)
+
+    slope("permute packed [N,10] (1 gather)", permute_rt, x0, perm, data)
+
+
+bench_sort()
