@@ -25,13 +25,15 @@ BASELINE_TARGET_MS = 33.33  # 30 fps interactive target
 def _sync(out):
     """Force device completion by fetching data — on the tunneled TPU
     backend, block_until_ready returns before execution finishes; only a
-    host transfer truly synchronizes."""
+    host transfer truly synchronizes.  Fetch ONE element, not the whole
+    leaf: pulling a full 800x800x3 image through the tunnel costs ~45 ms
+    and would inflate every frame time."""
     import numpy as np
 
     import jax
 
-    leaves = jax.tree_util.tree_leaves(out)
-    return float(np.asarray(leaves[0]).reshape(-1)[0])
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(np.asarray(leaf.reshape(-1)[0]))
 
 
 def _time_frames(step_fn, n_warmup: int = 2, n_iter: int = 8):
