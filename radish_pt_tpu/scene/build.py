@@ -141,7 +141,9 @@ def build_device_scene(
     tri_order = lm[lm >= 0].astype(np.int32)
     assert tri_order.size == num_tris, "leaf_map must cover every triangle"
     cluster_bounds = None
-    if num_tris > 64:
+    # below ~1k triangles the dense sweep is ~1 ms, so the culling prepass
+    # (~4 ms) and the bounce-ray sorting (~12 ms) are net losses
+    if num_tris > 1024:
         tvp = tri_v[tri_order]  # [T, 3, 3] permuted
         n_clusters = -(-num_tris // 64)
         cb = np.empty((n_clusters, 6), np.float32)
