@@ -135,7 +135,9 @@ def path_trace(
 
         # ---- NEE with MIS (pathtrace.cu:195-207) ----
         r4, sampler = rng.sample_4d(ds.sobol, sampler)
-        li, wi, light_pdf = dsc.sample_direct_light(ds, pos, r4)
+        li, wi, light_pdf = dsc.sample_direct_light(
+            ds, pos, r4, mask=active & ~is_delta_bsdf
+        )
         nee_ok = active & (~is_delta_bsdf) & (light_pdf > 0.0)
         f = bsdf.bsdf_eval(mat, norm, wo, wi)
         b_pdf = bsdf.bsdf_pdf(mat, norm, wo, wi)
@@ -168,7 +170,7 @@ def path_trace(
         prev_pos = pos
         ray_d = samp.dir
         ray_o = prev_pos + ray_d * 1e-5
-        it = dsc.intersect_sorted(ds, ray_o, ray_d)
+        it = dsc.intersect_sorted(ds, ray_o, ray_d, active=active)
         pos = it.pos
 
         miss = active & (it.prim_id == NULL_PRIMITIVE)
@@ -236,7 +238,7 @@ def path_trace_direct(
 
     shade = hit & ~is_light & ~is_delta_bsdf
     r4, sampler = rng.sample_4d(ds.sobol, sampler)
-    li, wi, light_pdf = dsc.sample_direct_light(ds, it.pos, r4)
+    li, wi, light_pdf = dsc.sample_direct_light(ds, it.pos, r4, mask=shade)
     ok = shade & (light_pdf > 0.0)
     f = bsdf.bsdf_eval(mat, norm, wo, wi)
     contrib = f * li * (m.sat_dot(norm, wi) / jnp.maximum(light_pdf, 1e-12))[..., None]

@@ -280,10 +280,13 @@ def restir_direct(
         0, reservoir_size, _candidate, (sampler, empty_reservoir(n))
     )
 
-    # ---- single visibility test on the winner (restir.cu:158-163) ----
+    # ---- single visibility test on the winner (restir.cu:158-163); only
+    # lanes that can actually shade sweep shadow rays — the rest get
+    # degenerate segments and their (all-dead) blocks are scalar-skipped ----
+    vis = shade & (res.weight > 0.0)
     target = it.pos + res.wi * res.dist[..., None]
-    occluded = dsc.test_occlusion(ds, it.pos, target)
-    res = res.replace(weight=jnp.where(occluded, 0.0, res.weight))
+    occluded = dsc.test_occlusion_sorted(ds, it.pos, target, mask=vis)
+    res = res.replace(weight=jnp.where(vis & ~occluded, res.weight, 0.0))
 
     # ---- temporal reuse (first_frame is traced: no recompile across frames) ----
     if reuse & ReservoirReuse.TEMPORAL:

@@ -22,6 +22,7 @@ from __future__ import annotations
 import numpy as np
 from flax import struct
 
+import jax
 import jax.numpy as jnp
 
 from ..accel import traverse as trv
@@ -242,17 +243,29 @@ def surface_info_from_t(ds: DeviceScene, prim_id, ray_o, ray_d, dist):
     return pos, norm, uvi
 
 
-def intersect(ds: DeviceScene, ray_o, ray_d) -> Interaction:
+def intersect(ds: DeviceScene, ray_o, ray_d, active=None) -> Interaction:
     """Closest hit + surface interpolation (DevScene::intersect, scene.h:262-301).
     Static dispatch over the scene's intersector (MXU Plücker sweep / Pallas
-    VPU sweep / MTBVH walk / XLA dense sweep)."""
-    if ds.intersector == "pallas_mxu":
-        from ..accel.pallas_kernels import intersect_plucker_pallas
+    VPU sweep / MTBVH walk / XLA dense sweep).
 
+    ``active`` (bool [N], optional): lanes marked False are DEAD — the MXU
+    path hands the culling prepass ``tmax = -inf`` for them, so they flag no
+    sub-clusters and an all-dead 1024-ray block skips every sweep with a
+    scalar branch.  Dead lanes return prim_id == NULL_PRIMITIVE.
+    """
+    if ds.intersector == "pallas_mxu":
+        from ..accel.pallas_kernels import FLT_MAX, intersect_plucker_pallas
+
+        tmax = None
+        if active is not None:
+            tmax = jnp.where(active, FLT_MAX, -FLT_MAX)
         prim, dist = intersect_plucker_pallas(
             ds.tri_packed, ray_o, ray_d,
             tri_order=ds.tri_order, cluster_bounds=ds.cluster_bounds,
+            tmax=tmax,
         )
+        if active is not None:
+            prim = jnp.where(active, prim, -1)
         pos, norm, uv = surface_info_from_t(ds, prim, ray_o, ray_d, dist)
         mat_id = ds.material_ids[jnp.maximum(prim, 0)]
         mat_id = jnp.where(prim >= 0, mat_id, -1)
@@ -273,7 +286,7 @@ def intersect(ds: DeviceScene, ray_o, ray_d) -> Interaction:
     return Interaction(prim_id=prim, mat_id=mat_id, pos=pos, norm=norm, uv=uv)
 
 
-def intersect_sorted(ds: DeviceScene, ray_o, ray_d) -> Interaction:
+def intersect_sorted(ds: DeviceScene, ray_o, ray_d, active=None) -> Interaction:
     """Closest hit for DIVERGENT wavefronts (bounce rays): sort rays by
     (direction octant, origin cell) so each 1024-ray kernel block shares a
     direction cone and an origin region, which restores the per-block
@@ -281,34 +294,54 @@ def intersect_sorted(ds: DeviceScene, ray_o, ray_d) -> Interaction:
     on small keys costs ~1-3 ms at 640k lanes; the two permutation gathers
     ~10 ms — worth it once the dense sweep exceeds a few tens of ms.
 
+    ``active``: dead lanes sort to the back (top key bit) AND flag no
+    sub-clusters, so the kernel skips all-dead blocks entirely — free
+    wavefront "compaction" without changing array shapes.
+
+    Both permutations ride ``lax.sort`` with payload columns (TPU sorts a
+    640k-lane column in ~0.65 ms, ~15x cheaper than the equivalent
+    divergent row gather): the forward sort carries (lane, rays, active),
+    the inverse is a second sort keyed on the carried lane id.
+
     Results are bitwise identical to :func:`intersect` (per-ray independent
-    math + exact f32 id round-trip), for any intersector.
+    math + exact round-trip), for any intersector.
     """
     if ds.cluster_bounds is None:
-        return intersect(ds, ray_o, ray_d)
-
-    perm = jnp.argsort(_sort_key(ds, ray_o, ray_d))
-
-    rays = jnp.concatenate([ray_o, ray_d], axis=1)[perm]
-    it = intersect(ds, rays[:, 0:3], rays[:, 3:6])
+        return intersect(ds, ray_o, ray_d, active=active)
 
     n = ray_o.shape[0]
-    inv = jnp.zeros(n, jnp.int32).at[perm].set(jnp.arange(n, dtype=jnp.int32))
-    # one packed gather back to pixel order (ids are exact in f32)
-    packed = jnp.concatenate(
-        [
-            it.prim_id.astype(jnp.float32)[:, None],
-            it.mat_id.astype(jnp.float32)[:, None],
-            it.pos, it.norm, it.uv,
-        ],
-        axis=1,
-    )[inv]
+    key = _sort_key(ds, ray_o, ray_d)
+    if active is not None:
+        key = key + jnp.where(active, 0, 1 << 14)
+    lane = jnp.arange(n, dtype=jnp.int32)
+    ops = (key, lane,
+           ray_o[:, 0], ray_o[:, 1], ray_o[:, 2],
+           ray_d[:, 0], ray_d[:, 1], ray_d[:, 2])
+    act_p = None
+    if active is not None:
+        ops = ops + (active,)
+    s = jax.lax.sort(ops, num_keys=1)
+    lane_s = s[1]
+    o_s = jnp.stack(s[2:5], axis=-1)
+    d_s = jnp.stack(s[5:8], axis=-1)
+    if active is not None:
+        act_p = s[8]
+
+    it = intersect(ds, o_s, d_s, active=act_p)
+
+    u = jax.lax.sort(
+        (lane_s, it.prim_id, it.mat_id,
+         it.pos[:, 0], it.pos[:, 1], it.pos[:, 2],
+         it.norm[:, 0], it.norm[:, 1], it.norm[:, 2],
+         it.uv[:, 0], it.uv[:, 1]),
+        num_keys=1,
+    )
     return Interaction(
-        prim_id=packed[:, 0].astype(jnp.int32),
-        mat_id=packed[:, 1].astype(jnp.int32),
-        pos=packed[:, 2:5],
-        norm=packed[:, 5:8],
-        uv=packed[:, 8:10],
+        prim_id=u[1],
+        mat_id=u[2],
+        pos=jnp.stack(u[3:6], axis=-1),
+        norm=jnp.stack(u[6:9], axis=-1),
+        uv=jnp.stack(u[9:11], axis=-1),
     )
 
 
@@ -326,18 +359,31 @@ def _sort_key(ds: DeviceScene, ray_o, ray_d):
     return ((octant * 8 + cell[:, 0]) * 8 + cell[:, 1]) * 8 + cell[:, 2]
 
 
-def test_occlusion_sorted(ds: DeviceScene, x, y):
+def test_occlusion_sorted(ds: DeviceScene, x, y, mask=None):
     """Occlusion for divergent shadow wavefronts — same ray sorting as
-    :func:`intersect_sorted`; the unpermute is one cheap [N] gather."""
+    :func:`intersect_sorted`; the unpermute is one cheap [N] gather.
+
+    ``mask``: lanes marked False get a degenerate zero-length segment (the
+    culling prepass then flags no clusters) and sort to the back so all-dead
+    blocks are skipped by the kernel's scalar branch."""
+    if mask is not None:
+        y = jnp.where(mask[..., None], y, x)
     if ds.cluster_bounds is None:
         return test_occlusion(ds, x, y)
     d = y - x
-    perm = jnp.argsort(_sort_key(ds, x, d))
-    seg = jnp.concatenate([x, y], axis=1)[perm]
-    occ = test_occlusion(ds, seg[:, 0:3], seg[:, 3:6])
+    key = _sort_key(ds, x, d)
+    if mask is not None:
+        key = key + jnp.where(mask, 0, 1 << 14)
     n = x.shape[0]
-    inv = jnp.zeros(n, jnp.int32).at[perm].set(jnp.arange(n, dtype=jnp.int32))
-    return occ[inv]
+    lane = jnp.arange(n, dtype=jnp.int32)
+    s = jax.lax.sort(
+        (key, lane, x[:, 0], x[:, 1], x[:, 2], y[:, 0], y[:, 1], y[:, 2]),
+        num_keys=1,
+    )
+    occ = test_occlusion(ds, jnp.stack(s[2:5], axis=-1),
+                         jnp.stack(s[5:8], axis=-1))
+    u = jax.lax.sort((s[1], occ), num_keys=1)
+    return u[1]
 
 
 def test_occlusion(ds: DeviceScene, x, y):
@@ -558,13 +604,19 @@ def sample_direct_light_no_vis(ds: DeviceScene, pos, r4):
     return radiance, wi, dist, pdf
 
 
-def sample_direct_light(ds: DeviceScene, pos, r4):
+def sample_direct_light(ds: DeviceScene, pos, r4, mask=None):
     """Light sample WITH a shadow test (sampleDirectLight, scene.h:419-456).
-    Returns (radiance, wi, pdf); pdf <= 0 when invalid or occluded."""
+    Returns (radiance, wi, pdf); pdf <= 0 when invalid or occluded.
+
+    ``mask``: lanes that cannot use the sample anyway (dead paths, delta
+    BSDFs) skip the shadow sweep via degenerate segments + block culling."""
     radiance, wi, dist, pdf = sample_direct_light_no_vis(ds, pos, r4)
+    ok = pdf > 0.0
+    if mask is not None:
+        ok = ok & mask
     target = pos + wi * dist[..., None]
-    occ = test_occlusion_sorted(ds, pos, target)
-    pdf = jnp.where(occ, INVALID_PDF, pdf)
+    occ = test_occlusion_sorted(ds, pos, target, mask=ok)
+    pdf = jnp.where(ok & ~occ, pdf, INVALID_PDF)
     return radiance, wi, pdf
 
 

@@ -163,3 +163,15 @@ def test_intersect_sorted_matches_unsorted():
     o0 = dsc.test_occlusion(ds, o, y)
     o1 = dsc.test_occlusion_sorted(ds, o, y)
     np.testing.assert_array_equal(np.asarray(o1), np.asarray(o0))
+
+    # dead-lane culling: active lanes must be untouched, dead lanes must
+    # report no hit / no occlusion
+    active = jnp.asarray(rng.uniform(size=n) < 0.5)
+    it2 = dsc.intersect_sorted(ds, o, d, active=active)
+    act = np.asarray(active)
+    np.testing.assert_array_equal(
+        np.asarray(it2.prim_id)[act], np.asarray(it0.prim_id)[act]
+    )
+    o2 = dsc.test_occlusion_sorted(ds, o, y, mask=active)
+    np.testing.assert_array_equal(np.asarray(o2)[act], np.asarray(o0)[act])
+    assert not np.asarray(o2)[~act].any()
