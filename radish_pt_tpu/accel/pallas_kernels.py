@@ -225,11 +225,11 @@ CLUSTER_SUB = 64  # triangles per cullable sub-cluster (one SMEM mask bit)
 
 
 def _plucker_kernel(
-    mask_ref,  # SMEM i32 [n_blocks, n_chunks]: bit s => sweep sub-cluster s
+    mask_ref,  # SMEM i32 [1, ROWS, n_chunks]: bit s => sweep sub-cluster s
     c_ref,  # [5, tri_chunk, 10] VMEM coefficient rows (det/bx/by/tdet/id)
     f_ref,  # [10, RAY_BLOCK] VMEM ray features
     prim_ref, dist_ref,  # outputs [RAY_BLOCK//128, 128]
-    *, tri_chunk: int, sub: int,
+    *, tri_chunk: int, sub: int, use_mask: bool,
 ):
     c = pl.program_id(1)
 
@@ -243,8 +243,10 @@ def _plucker_kernel(
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     )
-    mask = mask_ref[pl.program_id(0), c]
 
+    # Cull masks are per 128-ray ROW, not per 1024-ray block: sorted
+    # wavefronts are far more coherent at row granularity, so each row
+    # skips sub-clusters its 8x-wider block would have had to sweep.
     for s in range(tri_chunk // sub):
         rows = pl.ds(s * sub, sub)
         cd = c_ref[0, rows, :]  # [sub, 10]
@@ -253,9 +255,8 @@ def _plucker_kernel(
         ct = c_ref[3, rows, :]
         ci = c_ref[4, rows, :]
 
-        @pl.when((mask >> s) & 1 != 0)
-        def _sweep(cd=cd, cb=cb, cy=cy, ct=ct, ci=ci):
-            for r in range(RAY_BLOCK // 128):
+        for r in range(RAY_BLOCK // 128):
+            def _sweep(cd=cd, cb=cb, cy=cy, ct=ct, ci=ci, r=r):
                 f = f_ref[:, r * 128:(r + 1) * 128]  # [10, 128]
                 det = dot(cd, f)  # [sub, 128]
                 bx = dot(cb, f)
@@ -283,6 +284,12 @@ def _plucker_kernel(
                     upd, idmin.astype(jnp.int32), prim_ref[row, :]
                 )
 
+            if use_mask:
+                pl.when((mask_ref[0, r, c] >> s) & 1 != 0)(_sweep)
+            else:
+                # no clusters -> statically unconditional (no scalar branches)
+                _sweep()
+
 
 def _plucker_coeffs(tri_packed, center, prim_ids):
     """Per-triangle coefficient rows [5, T, 10] from packed v0/e1/e2; the
@@ -308,8 +315,9 @@ def _plucker_coeffs(tri_packed, center, prim_ids):
 
 def _cluster_mask_bits(cluster_bounds, ray_o, ray_d, tmax, n_blocks, n_chunks,
                        subs_per_chunk):
-    """XLA prepass: per (1024-ray block, tri chunk) bitmask of sub-clusters
-    any ray in the block might hit (conservative slab test, entry < tmax)."""
+    """XLA prepass: per (128-ray row, tri chunk) bitmask of sub-clusters any
+    ray in the row might hit (conservative slab test, entry < tmax).
+    Returns i32 [n_blocks, ROWS_PER_BLOCK, n_chunks]."""
     n_pad = n_blocks * RAY_BLOCK
     o = jnp.pad(ray_o, ((0, n_pad - ray_o.shape[0]), (0, 0)))
     d = jnp.pad(ray_d, ((0, n_pad - ray_d.shape[0]), (0, 0)),
@@ -327,13 +335,15 @@ def _cluster_mask_bits(cluster_bounds, ray_o, ray_d, tmax, n_blocks, n_chunks,
         tn = jnp.maximum(tn, jnp.minimum(a, b))
         tf = jnp.minimum(tf, jnp.maximum(a, b))
     hit = (tf >= jnp.maximum(tn, 0.0)) & (tn < tm)  # [n_pad, C]
-    hit = hit.reshape(n_blocks, RAY_BLOCK, -1).any(axis=1)  # [n_blocks, C]
+    rows = n_blocks * (RAY_BLOCK // 128)
+    hit = hit.reshape(rows, 128, -1).any(axis=1)  # [rows, C]
     c_tot = hit.shape[-1]
     pad_c = n_chunks * subs_per_chunk - c_tot
     hit = jnp.pad(hit, ((0, 0), (0, pad_c)))
-    bits = hit.reshape(n_blocks, n_chunks, subs_per_chunk).astype(jnp.int32)
+    bits = hit.reshape(rows, n_chunks, subs_per_chunk).astype(jnp.int32)
     weights = (1 << jnp.arange(subs_per_chunk, dtype=jnp.int32))[None, None]
-    return jnp.sum(bits * weights, axis=-1, dtype=jnp.int32)  # [n_blocks, n_chunks]
+    packed = jnp.sum(bits * weights, axis=-1, dtype=jnp.int32)  # [rows, n_chunks]
+    return packed.reshape(n_blocks, RAY_BLOCK // 128, n_chunks)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -381,13 +391,14 @@ def intersect_plucker_pallas(
     # padding rows are all-zero -> det==0 -> never valid
     coeffs = jnp.pad(coeffs, ((0, 0), (0, t_pad - num_tris), (0, 0)))
 
-    if cluster_bounds is not None:
+    use_mask = cluster_bounds is not None
+    if use_mask:
         mask = _cluster_mask_bits(
             cluster_bounds, ray_o, ray_d, tmax,
             n_blocks, n_chunks, subs_per_chunk,
         )
-    else:
-        mask = jnp.full((n_blocks, n_chunks), -1, jnp.int32)  # all bits set
+    else:  # unread by the kernel (use_mask=False skips every branch)
+        mask = jnp.zeros((n_blocks, 1, 1), jnp.int32)
 
     o = ray_o - center
     m = jnp.cross(o, ray_d)
@@ -399,7 +410,8 @@ def intersect_plucker_pallas(
 
     grid = (n_blocks, n_chunks)
     mask_spec = pl.BlockSpec(
-        (n_blocks, n_chunks), lambda i, c: (0, 0), memory_space=pltpu.SMEM
+        (1,) + mask.shape[1:], lambda i, c: (i, 0, 0),
+        memory_space=pltpu.SMEM,
     )
     c_spec = pl.BlockSpec(
         (5, tri_chunk, 10), lambda i, c: (0, c, 0), memory_space=pltpu.VMEM
@@ -412,7 +424,9 @@ def intersect_plucker_pallas(
     )
     row_shape = (n_pad // 128, 128)
     prim, dist = pl.pallas_call(
-        functools.partial(_plucker_kernel, tri_chunk=tri_chunk, sub=sub),
+        functools.partial(
+            _plucker_kernel, tri_chunk=tri_chunk, sub=sub, use_mask=use_mask
+        ),
         grid=grid,
         in_specs=[mask_spec, c_spec, f_spec],
         out_specs=[out_spec, out_spec],

@@ -312,7 +312,7 @@ def intersect_sorted(ds: DeviceScene, ray_o, ray_d, active=None) -> Interaction:
     n = ray_o.shape[0]
     key = _sort_key(ds, ray_o, ray_d)
     if active is not None:
-        key = key + jnp.where(active, 0, 1 << 14)
+        key = key + jnp.where(active, 0, _DEAD_KEY_BIT)
     lane = jnp.arange(n, dtype=jnp.int32)
     ops = (key, lane,
            ray_o[:, 0], ray_o[:, 1], ray_o[:, 2],
@@ -345,18 +345,31 @@ def intersect_sorted(ds: DeviceScene, ray_o, ray_d, active=None) -> Interaction:
     )
 
 
+_DEAD_KEY_BIT = 1 << 20  # above all live sort-key bits
+
+
 def _sort_key(ds: DeviceScene, ray_o, ray_d):
-    """(direction octant, origin cell) sort key for ray coherence."""
+    """(direction, Morton origin cell) sort key for ray coherence.
+
+    Direction: 2 bits per axis (sign + magnitude split at the octant
+    diagonal) = 64 cones.  Origin: 16 bins per axis, Morton-interleaved so
+    consecutive keys are 3D-adjacent (a 128-ray kernel row then covers a
+    compact cell cluster, which is what the per-row slab culling needs)."""
     lo = ds.cluster_bounds[:, 0:3].min(axis=0)
     hi = ds.cluster_bounds[:, 3:6].max(axis=0)
     q = jnp.clip((ray_o - lo) / jnp.maximum(hi - lo, 1e-6), 0.0, 0.999)
-    cell = (q * 8.0).astype(jnp.int32)  # 3 bits per axis
-    octant = (
-        (ray_d[:, 0] > 0).astype(jnp.int32) * 4
-        + (ray_d[:, 1] > 0).astype(jnp.int32) * 2
-        + (ray_d[:, 2] > 0).astype(jnp.int32)
-    )
-    return ((octant * 8 + cell[:, 0]) * 8 + cell[:, 1]) * 8 + cell[:, 2]
+    cell = (q * 16.0).astype(jnp.int32)  # 4 bits per axis
+    dq = jnp.clip(((ray_d + 1.0) * 2.0), 0.0, 3.999).astype(jnp.int32)
+    dirk = (dq[:, 0] * 4 + dq[:, 1]) * 4 + dq[:, 2]  # 6 bits
+
+    def spread(v):  # 4 bits -> every 3rd bit
+        v = (v | (v << 8)) & 0x0F00F
+        v = (v | (v << 4)) & 0xC30C3
+        v = (v | (v << 2)) & 0x249249
+        return v
+
+    morton = spread(cell[:, 0]) * 4 + spread(cell[:, 1]) * 2 + spread(cell[:, 2])
+    return (dirk << 12) | morton
 
 
 def test_occlusion_sorted(ds: DeviceScene, x, y, mask=None):
@@ -373,7 +386,7 @@ def test_occlusion_sorted(ds: DeviceScene, x, y, mask=None):
     d = y - x
     key = _sort_key(ds, x, d)
     if mask is not None:
-        key = key + jnp.where(mask, 0, 1 << 14)
+        key = key + jnp.where(mask, 0, _DEAD_KEY_BIT)
     n = x.shape[0]
     lane = jnp.arange(n, dtype=jnp.int32)
     s = jax.lax.sort(
