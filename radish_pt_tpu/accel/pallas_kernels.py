@@ -229,14 +229,27 @@ def _plucker_kernel(
     c_ref,  # [5, tri_chunk, 10] VMEM coefficient rows (det/bx/by/tdet/id)
     f_ref,  # [10, RAY_BLOCK] VMEM ray features
     prim_ref, dist_ref,  # outputs [RAY_BLOCK//128, 128]
-    *, tri_chunk: int, sub: int, use_mask: bool,
+    prim_s, dist_s,  # VMEM scratch [n_pad//128, 128], persists across grid
+    *, tri_chunk: int, n_chunks: int, sub: int, use_mask: bool,
 ):
-    c = pl.program_id(1)
+    # grid = (chunk OUTER, ray-block INNER): each [5, tri_chunk, 10]
+    # coefficient block is DMA'd once per outer step (one pass over the
+    # scene total) instead of once per (block, chunk) pair — the chunk
+    # stream was ~12x the coefficient footprint in HBM traffic per sweep.
+    # Because a ray block's best-hit state is revisited on NON-consecutive
+    # grid steps, it accumulates in VMEM scratch (persistent across steps)
+    # and flushes to the real outputs on the last chunk.
+    c = pl.program_id(0)
+    i = pl.program_id(1)
+    base = i * (RAY_BLOCK // 128)
 
     @pl.when(c == 0)
     def _init():
-        prim_ref[:] = jnp.full_like(prim_ref, NULL_PRIMITIVE)
-        dist_ref[:] = jnp.full_like(dist_ref, FLT_MAX)
+        blk = pl.ds(base, RAY_BLOCK // 128)
+        prim_s[blk, :] = jnp.full(
+            (RAY_BLOCK // 128, 128), NULL_PRIMITIVE, jnp.int32
+        )
+        dist_s[blk, :] = jnp.full((RAY_BLOCK // 128, 128), FLT_MAX, jnp.float32)
 
     dot = lambda a, b: jax.lax.dot_general(  # noqa: E731
         a, b, (((1,), (0,)), ((), ())),
@@ -277,11 +290,11 @@ def _plucker_kernel(
                     jnp.where(tval == tmin, ids, FLT_MAX),
                     axis=0, keepdims=True,
                 )
-                row = pl.ds(r, 1)
-                upd = (tmin < dist_ref[row, :]) & (tmin < FLT_MAX)
-                dist_ref[row, :] = jnp.where(upd, tmin, dist_ref[row, :])
-                prim_ref[row, :] = jnp.where(
-                    upd, idmin.astype(jnp.int32), prim_ref[row, :]
+                row = pl.ds(base + r, 1)
+                upd = (tmin < dist_s[row, :]) & (tmin < FLT_MAX)
+                dist_s[row, :] = jnp.where(upd, tmin, dist_s[row, :])
+                prim_s[row, :] = jnp.where(
+                    upd, idmin.astype(jnp.int32), prim_s[row, :]
                 )
 
             if use_mask:
@@ -289,6 +302,12 @@ def _plucker_kernel(
             else:
                 # no clusters -> statically unconditional (no scalar branches)
                 _sweep()
+
+    @pl.when(c == n_chunks - 1)
+    def _flush():
+        blk = pl.ds(base, RAY_BLOCK // 128)
+        prim_ref[:] = prim_s[blk, :]
+        dist_ref[:] = dist_s[blk, :]
 
 
 def _plucker_coeffs(tri_packed, center, prim_ids):
@@ -408,24 +427,25 @@ def intersect_plucker_pallas(
     feats = jnp.pad(feats, ((0, n_pad - n), (0, 0)), constant_values=1.0)
     feats = feats.T  # [10, N_pad]
 
-    grid = (n_blocks, n_chunks)
+    grid = (n_chunks, n_blocks)  # chunk outer, ray block inner (see kernel)
     mask_spec = pl.BlockSpec(
-        (1,) + mask.shape[1:], lambda i, c: (i, 0, 0),
+        (1,) + mask.shape[1:], lambda c, i: (i, 0, 0),
         memory_space=pltpu.SMEM,
     )
     c_spec = pl.BlockSpec(
-        (5, tri_chunk, 10), lambda i, c: (0, c, 0), memory_space=pltpu.VMEM
+        (5, tri_chunk, 10), lambda c, i: (0, c, 0), memory_space=pltpu.VMEM
     )
     f_spec = pl.BlockSpec(
-        (10, RAY_BLOCK), lambda i, c: (0, i), memory_space=pltpu.VMEM
+        (10, RAY_BLOCK), lambda c, i: (0, i), memory_space=pltpu.VMEM
     )
     out_spec = pl.BlockSpec(
-        (RAY_BLOCK // 128, 128), lambda i, c: (i, 0), memory_space=pltpu.VMEM
+        (RAY_BLOCK // 128, 128), lambda c, i: (i, 0), memory_space=pltpu.VMEM
     )
     row_shape = (n_pad // 128, 128)
     prim, dist = pl.pallas_call(
         functools.partial(
-            _plucker_kernel, tri_chunk=tri_chunk, sub=sub, use_mask=use_mask
+            _plucker_kernel, tri_chunk=tri_chunk, n_chunks=n_chunks,
+            sub=sub, use_mask=use_mask,
         ),
         grid=grid,
         in_specs=[mask_spec, c_spec, f_spec],
@@ -433,6 +453,10 @@ def intersect_plucker_pallas(
         out_shape=[
             jax.ShapeDtypeStruct(row_shape, jnp.int32),
             jax.ShapeDtypeStruct(row_shape, jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM(row_shape, jnp.int32),
+            pltpu.VMEM(row_shape, jnp.float32),
         ],
         interpret=interpret,
     )(mask, coeffs, feats)
