@@ -144,11 +144,13 @@ def build_device_scene(
     # below ~1k triangles the dense sweep is ~1 ms, so the culling prepass
     # (~4 ms) and the bounce-ray sorting (~12 ms) are net losses
     if num_tris > 1024:
+        from ..accel.pallas_kernels import CLUSTER_SUB
+
         tvp = tri_v[tri_order]  # [T, 3, 3] permuted
-        n_clusters = -(-num_tris // 64)
+        n_clusters = -(-num_tris // CLUSTER_SUB)
         cb = np.empty((n_clusters, 6), np.float32)
         for ci in range(n_clusters):
-            g = tvp[ci * 64:(ci + 1) * 64].reshape(-1, 3)
+            g = tvp[ci * CLUSTER_SUB:(ci + 1) * CLUSTER_SUB].reshape(-1, 3)
             cb[ci, 0:3] = g.min(axis=0)
             cb[ci, 3:6] = g.max(axis=0)
         cluster_bounds = cb
