@@ -317,18 +317,43 @@ def intersect_sorted(ds: DeviceScene, ray_o, ray_d, active=None) -> Interaction:
     ops = (key, lane,
            ray_o[:, 0], ray_o[:, 1], ray_o[:, 2],
            ray_d[:, 0], ray_d[:, 1], ray_d[:, 2])
-    act_p = None
     if active is not None:
         ops = ops + (active,)
     s = jax.lax.sort(ops, num_keys=1)
     lane_s = s[1]
     o_s = jnp.stack(s[2:5], axis=-1)
     d_s = jnp.stack(s[5:8], axis=-1)
-    if active is not None:
-        act_p = s[8]
 
+    if ds.intersector == "pallas_mxu":
+        # run just the (prim, dist) sweep on the sorted rays; the inverse
+        # sort then carries only 2 payload columns and the surface/material
+        # interpolation happens in PIXEL order (same gather cost, ~8 fewer
+        # sort columns)
+        from ..accel.pallas_kernels import FLT_MAX, intersect_plucker_pallas
+
+        tmax = None
+        if active is not None:
+            # dead lanes (sorted to the back) flag no clusters: tmax = -inf
+            tmax = jnp.where(s[8], FLT_MAX, -FLT_MAX)
+        prim_s, dist_s = intersect_plucker_pallas(
+            ds.tri_packed, o_s, d_s,
+            tri_order=ds.tri_order, cluster_bounds=ds.cluster_bounds,
+            tmax=tmax,
+        )
+        u = jax.lax.sort((lane_s, prim_s, dist_s), num_keys=1)
+        prim, dist = u[1], u[2]
+        if active is not None:
+            prim = jnp.where(active, prim, -1)
+        pos, norm, uv = surface_info_from_t(ds, prim, ray_o, ray_d, dist)
+        mat_id = ds.material_ids[jnp.maximum(prim, 0)]
+        mat_id = jnp.where(prim >= 0, mat_id, -1)
+        return Interaction(prim_id=prim, mat_id=mat_id, pos=pos, norm=norm,
+                           uv=uv)
+
+    # generic intersectors (bvh / brute on CPU): full sorted intersect,
+    # inverse sort carries the whole interaction
+    act_p = s[8] if active is not None else None
     it = intersect(ds, o_s, d_s, active=act_p)
-
     u = jax.lax.sort(
         (lane_s, it.prim_id, it.mat_id,
          it.pos[:, 0], it.pos[:, 1], it.pos[:, 2],
@@ -345,18 +370,50 @@ def intersect_sorted(ds: DeviceScene, ray_o, ray_d, active=None) -> Interaction:
     )
 
 
-_DEAD_KEY_BIT = 1 << 20  # above all live sort-key bits
+_DEAD_KEY_BIT = 1 << 24  # above all live sort-key bits
+# above this cluster count the [N, C] signature prepass outweighs its
+# culling benefit; fall back to the geometric (direction, Morton) key
+_SIGNATURE_MAX_CLUSTERS = 256
 
 
-def _sort_key(ds: DeviceScene, ray_o, ray_d):
-    """(direction, Morton origin cell) sort key for ray coherence.
+def _sort_key(ds: DeviceScene, ray_o, ray_d, tmax=None):
+    """Wavefront coherence sort key.
 
-    Direction: 2 bits per axis (sign + magnitude split at the octant
-    diagonal) = 64 cones.  Origin: 16 bins per axis, Morton-interleaved so
-    consecutive keys are 3D-adjacent (a 128-ray kernel row then covers a
-    compact cell cluster, which is what the per-row slab culling needs)."""
-    lo = ds.cluster_bounds[:, 0:3].min(axis=0)
-    hi = ds.cluster_bounds[:, 3:6].max(axis=0)
+    Preferred form: the ray's CLUSTER SIGNATURE — (first flagged
+    sub-cluster, clamped offset to the second, clamped flag count) from the
+    same conservative slab test the sweep's culling prepass uses.  Rays that
+    sort together then flag near-identical cluster sets, which is exactly
+    what the per-row (128-ray) mask union needs: teapot bounce rays sweep
+    7.4 clusters/row vs 10.9 for the best geometric (direction, Morton
+    cell) key and 3.0 for the per-ray floor (tools/cull_stats.py).
+
+    ``tmax`` (f32 [N]): segment bound for shadow queries — tightens the
+    signature exactly like the kernel prepass tightens its masks."""
+    cb = ds.cluster_bounds
+    n_c = cb.shape[0]
+    if n_c <= _SIGNATURE_MAX_CLUSTERS:
+        inv = 1.0 / jnp.where(jnp.abs(ray_d) > 1e-12, ray_d, 1e-12)
+        tn = jnp.full((ray_o.shape[0], n_c), -3.4e38)
+        tf = jnp.full((ray_o.shape[0], n_c), 3.4e38)
+        for k in range(3):
+            a = (cb[None, :, k] - ray_o[:, k, None]) * inv[:, k, None]
+            b = (cb[None, :, 3 + k] - ray_o[:, k, None]) * inv[:, k, None]
+            tn = jnp.maximum(tn, jnp.minimum(a, b))
+            tf = jnp.minimum(tf, jnp.maximum(a, b))
+        hit = tf >= jnp.maximum(tn, 0.0)
+        if tmax is not None:
+            hit = hit & (tn < tmax[:, None])
+        any_hit = hit.any(axis=1)
+        first = jnp.where(any_hit, jnp.argmax(hit, axis=1), n_c + 1)
+        ids = jnp.arange(n_c, dtype=jnp.int32)[None, :]
+        rest = hit & (ids != first[:, None])
+        second = jnp.where(rest.any(axis=1), jnp.argmax(rest, axis=1), n_c + 1)
+        d2 = jnp.clip(second - first, 0, 15)
+        cnt = jnp.clip(hit.sum(axis=1), 0, 15)
+        return ((first * 16 + d2) * 16 + cnt).astype(jnp.int32)
+
+    lo = cb[:, 0:3].min(axis=0)
+    hi = cb[:, 3:6].max(axis=0)
     q = jnp.clip((ray_o - lo) / jnp.maximum(hi - lo, 1e-6), 0.0, 0.999)
     cell = (q * 16.0).astype(jnp.int32)  # 4 bits per axis
     dq = jnp.clip(((ray_d + 1.0) * 2.0), 0.0, 3.999).astype(jnp.int32)
@@ -384,7 +441,10 @@ def test_occlusion_sorted(ds: DeviceScene, x, y, mask=None):
     if ds.cluster_bounds is None:
         return test_occlusion(ds, x, y)
     d = y - x
-    key = _sort_key(ds, x, d)
+    # d is the unnormalized segment, so slab distances are in segment
+    # fractions: tmax=1 bounds the signature at the light, like the
+    # kernel prepass bounds its masks
+    key = _sort_key(ds, x, d, tmax=jnp.ones(x.shape[0]))
     if mask is not None:
         key = key + jnp.where(mask, 0, _DEAD_KEY_BIT)
     n = x.shape[0]
