@@ -310,6 +310,72 @@ def _plucker_kernel(
         dist_ref[:] = dist_s[blk, :]
 
 
+def _plucker_occl_kernel(
+    mask_ref,  # SMEM i32 [1, ROWS, n_chunks]
+    c_ref,  # [4, tri_chunk, 10] VMEM coefficient rows (det/bx/by/tdet)
+    f_ref,  # [11, RAY_BLOCK] VMEM ray features; row 10 = segment tmax
+    occ_ref,  # output [RAY_BLOCK//128, 128] i32 (0/1)
+    occ_s,  # VMEM scratch [n_pad//128, 128] i32, persists across grid
+    *, tri_chunk: int, n_chunks: int, sub: int, use_mask: bool,
+):
+    """ANY-HIT twin of :func:`_plucker_kernel` for shadow segments.
+
+    Differences that make it ~40% cheaper per pair: no id matmul (4 dots,
+    not 5), no division and no closest-hit min-reduce — the in-range test
+    ``t < tmax`` is evaluated sign-safely as ``td*det < tmax*det^2``.
+    """
+    c = pl.program_id(0)
+    i = pl.program_id(1)
+    base = i * (RAY_BLOCK // 128)
+
+    @pl.when(c == 0)
+    def _init():
+        occ_s[pl.ds(base, RAY_BLOCK // 128), :] = jnp.zeros(
+            (RAY_BLOCK // 128, 128), jnp.int32
+        )
+
+    dot = lambda a, b: jax.lax.dot_general(  # noqa: E731
+        a, b, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+    for s in range(tri_chunk // sub):
+        rows = pl.ds(s * sub, sub)
+        cd = c_ref[0, rows, :]  # [sub, 10]
+        cb = c_ref[1, rows, :]
+        cy = c_ref[2, rows, :]
+        ct = c_ref[3, rows, :]
+
+        for r in range(RAY_BLOCK // 128):
+            def _sweep(cd=cd, cb=cb, cy=cy, ct=ct, r=r):
+                row = pl.ds(base + r, 1)
+                f = f_ref[0:10, r * 128:(r + 1) * 128]  # [10, 128]
+                det = dot(cd, f)  # [sub, 128]
+                bx = dot(cb, f)
+                by = dot(cy, f)
+                td = dot(ct, f)
+
+                sd = det * det
+                v = jnp.minimum(bx * det, by * det)
+                v = jnp.minimum(v, sd - (bx + by) * det)
+                v = jnp.minimum(v, sd - PLUCKER_EPS2)
+                tdd = td * det
+                tm = f_ref[10:11, r * 128:(r + 1) * 128]  # [1, 128]
+                hit = (v >= 0.0) & (tdd > 0.0) & (tdd < tm * sd)
+                any_hit = jnp.max(hit.astype(jnp.int32), axis=0, keepdims=True)
+                occ_s[row, :] = occ_s[row, :] | any_hit
+
+            if use_mask:
+                pl.when((mask_ref[0, r, c] >> s) & 1 != 0)(_sweep)
+            else:
+                _sweep()
+
+    @pl.when(c == n_chunks - 1)
+    def _flush():
+        occ_ref[:] = occ_s[pl.ds(base, RAY_BLOCK // 128), :]
+
+
 def _plucker_coeffs(tri_packed, center, prim_ids):
     """Per-triangle coefficient rows [5, T, 10] from packed v0/e1/e2; the
     fifth group carries the ORIGINAL prim id in the constant-1 slot so the
@@ -467,23 +533,93 @@ def intersect_plucker_pallas(
     return prim, dist
 
 
+@functools.partial(jax.jit, static_argnames=("interpret",))
 def occlusion_plucker_pallas(tri_packed, x, y,
                              tri_order=None, cluster_bounds=None,
                              interpret: bool = False):
-    """Shadow query via the MXU kernel; the segment length bounds the
-    culling prepass (clusters beyond the light are skipped)."""
+    """Shadow query via the dedicated ANY-HIT MXU kernel (no id matmul,
+    no division, no closest-hit reduce, per-row early-out); the segment
+    length bounds both the culling prepass and the in-range test."""
     eps = 1e-4
     d = y - x
     dist = jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=-1), 1e-24))
     dirn = d / dist[..., None]
     max_dist = dist - eps
-    ori = x + dirn * 1e-5
-    prim, hit_dist = intersect_plucker_pallas(
-        tri_packed, ori, dirn,
-        tri_order=tri_order, cluster_bounds=cluster_bounds, tmax=max_dist,
-        interpret=interpret,
+    ray_o = x + dirn * 1e-5
+    ray_d = dirn
+
+    n = ray_o.shape[0]
+    num_tris = tri_packed.shape[0]
+    n_pad = -(-n // RAY_BLOCK) * RAY_BLOCK
+    if num_tris > CLUSTER_SUB:
+        sub = CLUSTER_SUB
+        tri_chunk = min(TRI_CHUNK, -(-num_tris // sub) * sub)
+    else:
+        tri_chunk = -(-num_tris // TRI_SUB) * TRI_SUB
+        sub = tri_chunk
+    t_pad = -(-num_tris // tri_chunk) * tri_chunk
+    n_blocks = n_pad // RAY_BLOCK
+    n_chunks = t_pad // tri_chunk
+    subs_per_chunk = tri_chunk // sub
+
+    if tri_order is not None:
+        tri_packed = tri_packed[tri_order]
+        prim_ids = tri_order
+    else:
+        prim_ids = jnp.arange(num_tris, dtype=jnp.int32)
+
+    v0 = tri_packed[:, 0:3]
+    center = jax.lax.stop_gradient(0.5 * (v0.min(axis=0) + v0.max(axis=0)))
+    coeffs = _plucker_coeffs(tri_packed, center, prim_ids)[0:4]
+    coeffs = jnp.pad(coeffs, ((0, 0), (0, t_pad - num_tris), (0, 0)))
+
+    use_mask = cluster_bounds is not None
+    if use_mask:
+        mask = _cluster_mask_bits(
+            cluster_bounds, ray_o, ray_d, max_dist,
+            n_blocks, n_chunks, subs_per_chunk,
+        )
+    else:  # unread by the kernel (use_mask=False skips every branch)
+        mask = jnp.zeros((n_blocks, 1, 1), jnp.int32)
+
+    o = ray_o - center
+    m = jnp.cross(o, ray_d)
+    feats = jnp.concatenate(
+        [ray_d, m, o, jnp.ones_like(o[:, :1]), max_dist[:, None]], axis=1
+    )  # [N, 11]
+    # padding rays: tmax = -inf -> no hits possible
+    feats = jnp.pad(feats, ((0, n_pad - n), (0, 0)), constant_values=-FLT_MAX)
+    feats = feats.T  # [11, N_pad]
+
+    grid = (n_chunks, n_blocks)
+    mask_spec = pl.BlockSpec(
+        (1,) + mask.shape[1:], lambda c, i: (i, 0, 0),
+        memory_space=pltpu.SMEM,
     )
-    return (prim != NULL_PRIMITIVE) & (hit_dist < max_dist)
+    c_spec = pl.BlockSpec(
+        (4, tri_chunk, 10), lambda c, i: (0, c, 0), memory_space=pltpu.VMEM
+    )
+    f_spec = pl.BlockSpec(
+        (11, RAY_BLOCK), lambda c, i: (0, i), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (RAY_BLOCK // 128, 128), lambda c, i: (i, 0), memory_space=pltpu.VMEM
+    )
+    row_shape = (n_pad // 128, 128)
+    occ = pl.pallas_call(
+        functools.partial(
+            _plucker_occl_kernel, tri_chunk=tri_chunk, n_chunks=n_chunks,
+            sub=sub, use_mask=use_mask,
+        ),
+        grid=grid,
+        in_specs=[mask_spec, c_spec, f_spec],
+        out_specs=[out_spec],
+        out_shape=[jax.ShapeDtypeStruct(row_shape, jnp.int32)],
+        scratch_shapes=[pltpu.VMEM(row_shape, jnp.int32)],
+        interpret=interpret,
+    )(mask, coeffs, feats)[0]
+
+    return occ.reshape(-1)[:n] != 0
 
 
 # Above this triangle count the O(N*T) dense sweep loses to the BVH walk:
