@@ -197,10 +197,18 @@ def merge_spatial(
     sampler,
     table,
     num_neighbors: int = 5,
+    looper=None,
 ):
     """Merge 5 disk neighbors from the COMPLETED post-temporal reservoir image
     (mergeSpatialNeighborDirect, restir.cu:82-95) — a separate pass, so every
-    neighbor value is from this frame, fixing the reference's sync bug."""
+    neighbor value is from this frame, fixing the reference's sync bug.
+
+    TPU deviation from the reference's per-pixel random disk: when ``looper``
+    is given, each neighbor's disk offset is SHARED by all pixels and rotated
+    per (frame, neighbor) by a hash — the fetch then lowers to a 2D roll of
+    the packed image (~0.1 ms) instead of a divergent [N, 14] gather (~5 ms);
+    the 5-gather spatial pass was ~25 ms of the 59 ms ReSTIR frame.  Temporal
+    rotation restores the offset coverage per-pixel randomness provided."""
     n = temp.weight.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
     x = idx % width
@@ -209,9 +217,32 @@ def merge_spatial(
         temp, cur.normal, cur.depth, cur.prim_id.astype(jnp.float32)
     )
     out = empty_reservoir(n)
-    for _ in range(num_neighbors):
-        r2, sampler = rng.sample_2d(table, sampler)
-        nb = _spatial_neighbor(packed, x, y, width, height, cur, r2)
+    if looper is None:
+        for _ in range(num_neighbors):
+            r2, sampler = rng.sample_2d(table, sampler)
+            nb = _spatial_neighbor(packed, x, y, width, height, cur, r2)
+            r1, sampler = rng.sample_1d(table, sampler)
+            out = _merge(out, nb, r1, ~_invalid(nb) & (nb.num > 0))
+        return out, sampler
+
+    img = packed.reshape(height, width, packed.shape[1])
+    for k in range(num_neighbors):
+        h1 = m.utilhash(jnp.uint32(looper) * 31 + jnp.uint32(2 * k + 1))
+        h2 = m.utilhash(h1 ^ jnp.uint32(0x9E3779B9))
+        u1 = h1.astype(jnp.float32) * jnp.float32(2.0**-32)
+        u2 = h2.astype(jnp.float32) * jnp.float32(2.0**-32)
+        p = m.concentric_sample_disk(u1, u2) * 5.0
+        dx = jnp.round(p[..., 0]).astype(jnp.int32)
+        dy = jnp.round(p[..., 1]).astype(jnp.int32)
+        row = jnp.roll(img, shift=(-dy, -dx), axis=(0, 1)).reshape(n, -1)
+        px = x + dx
+        py = y + dy
+        ok = (px >= 0) & (px < width) & (py >= 0) & (py < height)
+        ok &= ~((dx == 0) & (dy == 0))
+        ok &= row[..., 13].astype(jnp.int32) == cur.prim_id
+        ok &= m.dot(row[..., 9:12], cur.normal) >= 0.1
+        ok &= jnp.abs(row[..., 12] - cur.depth) <= cur.depth * 0.1
+        nb = _mask_empty(_unpack(row), ok)
         r1, sampler = rng.sample_1d(table, sampler)
         out = _merge(out, nb, r1, ~_invalid(nb) & (nb.num > 0))
     return out, sampler
@@ -306,7 +337,8 @@ def restir_direct(
     # ---- spatial reuse on the completed post-temporal image ----
     if reuse & ReservoirReuse.SPATIAL:
         spatial, sampler = merge_spatial(
-            reservoir_out, gbuf.frame, cam.width, cam.height, sampler, table
+            reservoir_out, gbuf.frame, cam.width, cam.height, sampler, table,
+            looper=looper,
         )
         r1, sampler = rng.sample_1d(table, sampler)
         ok = ~_invalid(spatial) & (spatial.num > 0) & ~_invalid(res)
