@@ -177,6 +177,9 @@ def build_device_scene(
                     tri_v.reshape(-1, 9),
                     tri_n.reshape(-1, 9),
                     tri_uv.reshape(-1, 6),
+                    # material id as f32 col 24 (exact to 2^24): the surface
+                    # fetch then yields mat_id with NO second row gather
+                    material_ids.reshape(-1, 1).astype(np.float32),
                 ],
                 axis=1,
             )

@@ -202,15 +202,17 @@ class SurfaceMaterial:
 
 def surface_info(ds: DeviceScene, prim_id, bary) -> tuple:
     """Interpolate position/normal/uv from barycentrics —
-    ``getIntersecGeomInfo`` (scene.h:147-165) as ONE packed [T,24] gather."""
-    a = ds.tri_attr[jnp.maximum(prim_id, 0)]
+    ``getIntersecGeomInfo`` (scene.h:147-165) as ONE packed [T,25] gather.
+    Also returns mat_id (f32 col 24, exact), -1 where prim_id < 0."""
+    a = take_rows(ds.tri_attr, jnp.maximum(prim_id, 0))
     bx = bary[..., 0:1]
     by = bary[..., 1:2]
     bw = 1.0 - bx - by
     pos = a[:, 3:6] * bx + a[:, 6:9] * by + a[:, 0:3] * bw
     norm = m.normalize(a[:, 12:15] * bx + a[:, 15:18] * by + a[:, 9:12] * bw)
     uvi = a[:, 20:22] * bx + a[:, 22:24] * by + a[:, 18:20] * bw
-    return pos, norm, uvi
+    mat_id = jnp.where(prim_id >= 0, a[:, 24].astype(jnp.int32), -1)
+    return pos, norm, uvi, mat_id
 
 
 def surface_info_from_t(ds: DeviceScene, prim_id, ray_o, ray_d, dist):
@@ -218,12 +220,12 @@ def surface_info_from_t(ds: DeviceScene, prim_id, ray_o, ray_d, dist):
 
     The Plücker kernel returns (prim, t) without barycentrics; project the
     hit point onto the winning triangle's edge basis to recover them — uses
-    the same single [T,24] attribute gather as :func:`surface_info`, so no
+    the same single [T,25] attribute gather as :func:`surface_info`, so no
     extra memory traffic.  The position is then re-interpolated
     barycentrically, which puts it exactly on the triangle plane (better for
     the self-intersection epsilon than o + t*d).
     """
-    a = ds.tri_attr[jnp.maximum(prim_id, 0)]
+    a = take_rows(ds.tri_attr, jnp.maximum(prim_id, 0))
     v0 = a[:, 0:3]
     e1 = a[:, 3:6] - v0
     e2 = a[:, 6:9] - v0
@@ -240,7 +242,8 @@ def surface_info_from_t(ds: DeviceScene, prim_id, ray_o, ray_d, dist):
     pos = v0 + e1 * bx + e2 * by
     norm = m.normalize(a[:, 12:15] * bx + a[:, 15:18] * by + a[:, 9:12] * bw)
     uvi = a[:, 20:22] * bx + a[:, 22:24] * by + a[:, 18:20] * bw
-    return pos, norm, uvi
+    mat_id = jnp.where(prim_id >= 0, a[:, 24].astype(jnp.int32), -1)
+    return pos, norm, uvi, mat_id
 
 
 def intersect(ds: DeviceScene, ray_o, ray_d, active=None) -> Interaction:
@@ -266,9 +269,7 @@ def intersect(ds: DeviceScene, ray_o, ray_d, active=None) -> Interaction:
         )
         if active is not None:
             prim = jnp.where(active, prim, -1)
-        pos, norm, uv = surface_info_from_t(ds, prim, ray_o, ray_d, dist)
-        mat_id = ds.material_ids[jnp.maximum(prim, 0)]
-        mat_id = jnp.where(prim >= 0, mat_id, -1)
+        pos, norm, uv, mat_id = surface_info_from_t(ds, prim, ray_o, ray_d, dist)
         return Interaction(prim_id=prim, mat_id=mat_id, pos=pos, norm=norm, uv=uv)
     if ds.intersector == "pallas_brute":
         from ..accel.pallas_kernels import intersect_brute_pallas
@@ -280,9 +281,7 @@ def intersect(ds: DeviceScene, ray_o, ray_d, active=None) -> Interaction:
         )
     else:
         prim, dist, bary = trv.intersect_brute(ds.tri_packed, ray_o, ray_d)
-    pos, norm, uv = surface_info(ds, prim, bary)
-    mat_id = ds.material_ids[jnp.maximum(prim, 0)]
-    mat_id = jnp.where(prim >= 0, mat_id, -1)
+    pos, norm, uv, mat_id = surface_info(ds, prim, bary)
     return Interaction(prim_id=prim, mat_id=mat_id, pos=pos, norm=norm, uv=uv)
 
 
@@ -344,9 +343,8 @@ def intersect_sorted(ds: DeviceScene, ray_o, ray_d, active=None) -> Interaction:
         prim, dist = u[1], u[2]
         if active is not None:
             prim = jnp.where(active, prim, -1)
-        pos, norm, uv = surface_info_from_t(ds, prim, ray_o, ray_d, dist)
-        mat_id = ds.material_ids[jnp.maximum(prim, 0)]
-        mat_id = jnp.where(prim >= 0, mat_id, -1)
+        pos, norm, uv, mat_id = surface_info_from_t(ds, prim, ray_o, ray_d,
+                                                    dist)
         return Interaction(prim_id=prim, mat_id=mat_id, pos=pos, norm=norm,
                            uv=uv)
 

@@ -18,12 +18,19 @@ import jax.numpy as jnp
 # divergent gather; measured crossover is ~8-16 rows for 16-wide rows.
 SMALL_TABLE_MAX_ROWS = 8
 
+# Between the select-chain limit and this, an f32 gather is a ONE-HOT
+# MATMUL: (idx == iota) [N, L] @ table [L, W] rides the MXU (~0.2 ms at
+# 640k lanes) vs ~5 ms for the divergent row gather.  Above ~256 rows the
+# [N, L] one-hot construction (VPU compares) starts to dominate and the
+# gather wins again.
+ONEHOT_TABLE_MAX_ROWS = 256
+
 
 def take_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """``table[idx]`` for f32/i32 ``table [L, W]``, ``idx i32 [N]``.
 
-    Uses a branchless select chain when L <= SMALL_TABLE_MAX_ROWS (tiny
-    scene tables; ~free on the VPU), else a real gather.
+    Strategy by table size: select chain (<=8 rows) -> one-hot MXU matmul
+    (f32 2D tables <=256 rows) -> real gather.
     """
     n_rows = table.shape[0]
     if n_rows == 1:
@@ -34,4 +41,14 @@ def take_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
         for j in range(1, n_rows):
             out = jnp.where(sel == j, table[j], out)
         return out
+    if (
+        n_rows <= ONEHOT_TABLE_MAX_ROWS
+        and table.ndim == 2
+        and table.dtype == jnp.float32
+        and idx.ndim == 1
+    ):
+        onehot = (
+            idx[:, None] == jnp.arange(n_rows, dtype=idx.dtype)[None, :]
+        ).astype(jnp.float32)
+        return jnp.dot(onehot, table, precision="highest")
     return table[idx]

@@ -98,13 +98,20 @@ def test_plucker_surface_recovery(scene_rays):
     tri_n = rng.normal(size=tri_v.shape).astype(np.float32)
     tri_n /= np.linalg.norm(tri_n, axis=-1, keepdims=True)
     tri_uv = rng.uniform(size=(tri_v.shape[0], 3, 2)).astype(np.float32)
+    mat_ids = rng.integers(0, 7, tri_v.shape[0]).astype(np.float32)
     attr = np.concatenate(
-        [tri_v.reshape(-1, 9), tri_n.reshape(-1, 9), tri_uv.reshape(-1, 6)],
+        [tri_v.reshape(-1, 9), tri_n.reshape(-1, 9), tri_uv.reshape(-1, 6),
+         mat_ids[:, None]],
         axis=1,
     )
     ds = dsc.DeviceScene(tri_attr=jnp.asarray(attr))
-    pos_t, norm_t, uv_t = dsc.surface_info_from_t(ds, p0, ray_o, ray_d, d0)
-    pos_b, norm_b, uv_b = dsc.surface_info(ds, p0, b0)
+    pos_t, norm_t, uv_t, mid_t = dsc.surface_info_from_t(ds, p0, ray_o, ray_d, d0)
+    pos_b, norm_b, uv_b, mid_b = dsc.surface_info(ds, p0, b0)
+    np.testing.assert_array_equal(np.asarray(mid_t), np.asarray(mid_b))
+    np.testing.assert_array_equal(
+        np.asarray(mid_t)[np.asarray(p0) >= 0],
+        mat_ids.astype(np.int32)[np.asarray(p0)[np.asarray(p0) >= 0]],
+    )
     hits = np.asarray(p0) >= 0
     np.testing.assert_allclose(
         np.asarray(pos_t)[hits], np.asarray(pos_b)[hits], atol=1e-4
