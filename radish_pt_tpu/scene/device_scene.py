@@ -675,18 +675,24 @@ def sample_direct_light_no_vis(ds: DeviceScene, pos, r4):
     return radiance, wi, dist, pdf
 
 
-def sample_direct_light(ds: DeviceScene, pos, r4, mask=None):
+def sample_direct_light(ds: DeviceScene, pos, r4, mask=None, sort=True):
     """Light sample WITH a shadow test (sampleDirectLight, scene.h:419-456).
     Returns (radiance, wi, pdf); pdf <= 0 when invalid or occluded.
 
     ``mask``: lanes that cannot use the sample anyway (dead paths, delta
-    BSDFs) skip the shadow sweep via degenerate segments + block culling."""
+    BSDFs) skip the shadow sweep via degenerate segments + block culling.
+    ``sort=False`` skips the shadow-ray signature sort — pass it when the
+    caller's lanes are already coherently ordered (permuted wavefront)."""
     radiance, wi, dist, pdf = sample_direct_light_no_vis(ds, pos, r4)
     ok = pdf > 0.0
     if mask is not None:
         ok = ok & mask
     target = pos + wi * dist[..., None]
-    occ = test_occlusion_sorted(ds, pos, target, mask=ok)
+    if sort:
+        occ = test_occlusion_sorted(ds, pos, target, mask=ok)
+    else:
+        safe_target = jnp.where(ok[..., None], target, pos)
+        occ = test_occlusion(ds, pos, safe_target)
     pdf = jnp.where(ok & ~occ, pdf, INVALID_PDF)
     return radiance, wi, pdf
 

@@ -112,20 +112,44 @@ def main():
     t["isect_div"] = slope("intersect+surface_info (divergent)", st_isect_div,
                            jnp.zeros(n))
 
-    def st_raw(c):
-        o = ray_o + c[:, None]
-        if ds.intersector == "pallas_brute":
-            from radish_pt_tpu.accel.pallas_kernels import intersect_brute_pallas
-            return intersect_brute_pallas(ds.tri_packed, o, ray_d)[1]
-        from radish_pt_tpu.accel import traverse as trv
-        return trv.intersect_bvh(ds.leaf_tris, ds.leaf_map, ds.bvh_packed, o, ray_d)[1]
+    if ds.intersector == "pallas_mxu":
+        from radish_pt_tpu.accel.pallas_kernels import intersect_plucker_pallas
 
-    t["raw"] = slope("raw intersect (no surface_info)", st_raw, jnp.zeros(n))
+        def st_raw(c):
+            o = pos + sec_d * 1e-5 + c[:, None]
+            return intersect_plucker_pallas(
+                ds.tri_packed, o, sec_d,
+                tri_order=ds.tri_order, cluster_bounds=ds.cluster_bounds,
+            )[1]
+
+        t["raw"] = slope("raw MXU sweep (divergent, unsorted)", st_raw,
+                         jnp.zeros(n))
+
+        def st_isrt(c):
+            o = pos + sec_d * 1e-5 + c[:, None]
+            return dsc.intersect_sorted(ds, o, sec_d).pos[:, 0]
+
+        t["isect_sorted"] = slope("intersect_sorted (divergent)", st_isrt,
+                                  jnp.zeros(n))
+
+        if ds.cluster_bounds is not None:
+            def st_key(c):
+                o = pos + c[:, None]
+                return dsc._sort_key(ds, o, sec_d).astype(jnp.float32)
+
+            t["sortkey"] = slope("signature sort key", st_key, jnp.zeros(n))
+
+        def st_osrt(c):
+            o = pos + c[:, None]
+            return dsc.test_occlusion_sorted(ds, o, o + sec_d * 2.0).astype(
+                jnp.float32)
+
+        t["occ_sorted"] = slope("test_occlusion_sorted", st_osrt, jnp.zeros(n))
 
     def st_surf(c):
         prim = (it.prim_id + (c * 1e30).astype(jnp.int32)) % jnp.maximum(
             ds.num_triangles, 1)
-        p, nn, uv = dsc.surface_info(ds, prim, it.uv)
+        p, nn, uv, _ = dsc.surface_info(ds, prim, it.uv)
         return p[:, 0] + nn[:, 0] + uv[:, 0]
 
     t["surf"] = slope("surface_info gathers", st_surf, jnp.zeros(n))
