@@ -386,8 +386,22 @@ def _sort_key(ds: DeviceScene, ray_o, ray_d, tmax=None):
     cell) key and 3.0 for the per-ray floor (tools/cull_stats.py).
 
     ``tmax`` (f32 [N]): segment bound for shadow queries — tightens the
-    signature exactly like the kernel prepass tightens its masks."""
+    signature exactly like the kernel prepass tightens its masks.
+
+    The signature is computed on 128-tri SUPER-clusters (pairs of the
+    kernel's 64-tri cull clusters): measured row-union cull quality is
+    identical (teapot 7.36 vs 7.37 clusters/row; tools/cull_stats.py) at
+    half the [N, C] slab-prepass cost."""
     cb = ds.cluster_bounds
+    if cb.shape[0] > 1:
+        pad = cb.shape[0] % 2
+        cbp = jnp.pad(cb, ((0, pad), (0, 0)),
+                      mode="edge") if pad else cb
+        pairs = cbp.reshape(-1, 2, 6)
+        cb = jnp.concatenate(
+            [pairs[:, :, 0:3].min(axis=1), pairs[:, :, 3:6].max(axis=1)],
+            axis=1,
+        )
     n_c = cb.shape[0]
     if n_c <= _SIGNATURE_MAX_CLUSTERS:
         inv = 1.0 / jnp.where(jnp.abs(ray_d) > 1e-12, ray_d, 1e-12)
