@@ -622,6 +622,447 @@ def occlusion_plucker_pallas(tri_packed, x, y,
     return occ.reshape(-1)[:n] != 0
 
 
+# ---------------------------------------------------------------------------
+# Quadratic-feature MXU intersector (round-2 redesign of the Plücker kernel)
+# ---------------------------------------------------------------------------
+#
+# Multiplying Möller–Trumbore's decision quantities through by det makes every
+# one of them a QUADRATIC form in the 10 linear ray features (d, m=o×d, o, 1):
+#
+#   q1 = bx·det                >= 0   (barycentric u >= 0)
+#   q2 = by·det                >= 0   (barycentric v >= 0)
+#   q3 = det² − (bx+by)·det    >= 0   (u + v <= 1)
+#   q4 = det² − eps²·|d|²      >= 0   (|det| >= eps, scale-free)
+#   q5 = td·det                >  0   (t > 0);  t = q5 / det²
+#   q6 = det² − td·det         >  0   (t < 1, occlusion segments only)
+#
+# Only 27 monomials appear (dd-sym 6, m⊗d 9, o⊗d 9, d 3), so ONE
+# [5·sub, 27] @ [27, 128] MXU matmul per (cluster, 128 rays) yields all five
+# decision planes directly and the VPU epilogue collapses to a min-chain +
+# one compare (+ the t division and winner bookkeeping for closest hit):
+# ~12 ops/pair closest / ~7 ops/pair any-hit, vs ~20 / ~11 for the linear
+# Plücker kernel above — the sweep is epilogue-bound, so this is ~1.6x.
+#
+# Winner selection uses a BITCAST KEY: positive f32 order == int32 order, so
+# packing the sublane index into the low 6 mantissa bits of t gives argmin
+# via one integer min-reduce (dist is quantized by ≤64 ulp ≈ 2^-17 relative,
+# far inside the f32 noise of the intersection itself).  Triangle ids are
+# POSITIONAL (chunk base + sublane): the scene is stored pre-permuted in BVH
+# leaf order (scene/build.py), so no id matmul and no unpermute gather.
+
+QUAD_FEATS = 28  # 27 used + 1 pad ([27] is a constant-1 slot, currently 0-coef)
+_KEY_MISS = 0x7F7FFFC0  # bitcast(FLT_MAX) & ~63: "no hit in this cluster"
+
+
+def _quad_features(ray_o, ray_d, center):
+    """Per-ray quadratic monomial features [N, 28] (see layout above)."""
+    o = ray_o - center
+    d = ray_d
+    mm = jnp.cross(o, d)
+    dd = jnp.stack(
+        [
+            d[:, 0] * d[:, 0], d[:, 1] * d[:, 1], d[:, 2] * d[:, 2],
+            d[:, 0] * d[:, 1], d[:, 0] * d[:, 2], d[:, 1] * d[:, 2],
+        ],
+        axis=-1,
+    )
+    md = (mm[:, :, None] * d[:, None, :]).reshape(-1, 9)
+    od = (o[:, :, None] * d[:, None, :]).reshape(-1, 9)
+    return jnp.concatenate(
+        [dd, md, od, d, jnp.ones_like(d[:, :1])], axis=1
+    )  # [N, 28]
+
+
+def _sym_dd(u, a):
+    """Coefficient row of (u·d)(a·d) in the dd-sym feature layout."""
+    return jnp.stack(
+        [
+            u[:, 0] * a[:, 0], u[:, 1] * a[:, 1], u[:, 2] * a[:, 2],
+            u[:, 0] * a[:, 1] + u[:, 1] * a[:, 0],
+            u[:, 0] * a[:, 2] + u[:, 2] * a[:, 0],
+            u[:, 1] * a[:, 2] + u[:, 2] * a[:, 1],
+        ],
+        axis=-1,
+    )  # [T, 6]
+
+
+def _outer9(u, a):
+    return (u[:, :, None] * a[:, None, :]).reshape(-1, 9)
+
+
+def _quad_coeffs(tri_packed, center, with_q6: bool = False):
+    """Per-triangle quadratic coefficient rows [5(or 6), T, 28]."""
+    v0 = tri_packed[:, 0:3] - center
+    e1 = tri_packed[:, 3:6]
+    e2 = tri_packed[:, 6:9]
+    a = jnp.cross(e2, e1)  # det = a·d
+    b_d = -jnp.cross(e2, v0)  # bx = b_d·d + e2·m
+    b_m = e2
+    y_d = jnp.cross(e1, v0)  # by = y_d·d − e1·m
+    y_m = -e1
+    n = jnp.cross(e1, e2)  # td = n·o − v0·n
+    t_c = -jnp.sum(v0 * n, axis=1, keepdims=True)
+
+    z6 = jnp.zeros((tri_packed.shape[0], 6), tri_packed.dtype)
+    z9 = jnp.zeros((tri_packed.shape[0], 9), tri_packed.dtype)
+    z3 = jnp.zeros((tri_packed.shape[0], 3), tri_packed.dtype)
+    z1 = z3[:, :1]
+
+    def row(dd, md, od, dl):
+        return jnp.concatenate([dd, md, od, dl, z1], axis=1)
+
+    det2 = _sym_dd(a, a)
+    eps_dd = jnp.zeros((1, 6), tri_packed.dtype).at[0, 0:3].set(PLUCKER_EPS2)
+    q1 = row(_sym_dd(b_d, a), _outer9(b_m, a), z9, z3)
+    q2 = row(_sym_dd(y_d, a), _outer9(y_m, a), z9, z3)
+    q3 = row(det2 - _sym_dd(b_d + y_d, a), -_outer9(b_m + y_m, a), z9, z3)
+    q4 = row(det2 - eps_dd, z9, z9, z3)
+    q5 = row(z6, z9, _outer9(n, a), t_c * a)
+    rows = [q1, q2, q3, q4, q5]
+    if with_q6:
+        rows.append(row(det2, z9, -_outer9(n, a), -t_c * a))
+    return jnp.stack(rows, axis=0)  # [5 or 6, T, 28]
+
+
+def _quad_kernel(
+    mask_ref,  # SMEM i32 [1, ROWS, n_chunks]
+    c_ref,  # [5, tri_chunk, 28] VMEM quadratic coefficient rows
+    f_ref,  # [28, RAY_BLOCK] VMEM quadratic ray features
+    prim_ref, dist_ref,  # outputs [RAY_BLOCK//128, 128]
+    prim_s, dist_s,  # VMEM scratch [n_pad//128, 128], persists across grid
+    *, tri_chunk: int, n_chunks: int, sub: int, use_mask: bool,
+):
+    c = pl.program_id(0)
+    i = pl.program_id(1)
+    base = i * (RAY_BLOCK // 128)
+
+    @pl.when(c == 0)
+    def _init():
+        blk = pl.ds(base, RAY_BLOCK // 128)
+        prim_s[blk, :] = jnp.full(
+            (RAY_BLOCK // 128, 128), NULL_PRIMITIVE, jnp.int32
+        )
+        dist_s[blk, :] = jnp.full((RAY_BLOCK // 128, 128), FLT_MAX, jnp.float32)
+
+    dot = lambda a, b: jax.lax.dot_general(  # noqa: E731
+        a, b, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    iota6 = jax.lax.broadcasted_iota(jnp.int32, (sub, 128), 0)
+
+    for s in range(tri_chunk // sub):
+        rows = pl.ds(s * sub, sub)
+
+        for r in range(RAY_BLOCK // 128):
+            def _sweep(s=s, rows=rows, r=r):
+                f = f_ref[:, r * 128:(r + 1) * 128]  # [28, 128]
+                q1 = dot(c_ref[0, rows, :], f)  # [sub, 128]
+                q2 = dot(c_ref[1, rows, :], f)
+                q3 = dot(c_ref[2, rows, :], f)
+                q4 = dot(c_ref[3, rows, :], f)
+                q5 = dot(c_ref[4, rows, :], f)
+
+                mmin = jnp.minimum(
+                    jnp.minimum(q1, q2), jnp.minimum(q3, q4)
+                )
+                mmin = jnp.minimum(mmin, q5)
+                # closest-hit rays are unit-length: |d|² == 1, sd = q4 + eps²
+                t = q5 / (q4 + PLUCKER_EPS2)
+                tval = jnp.where(mmin > 0.0, t, FLT_MAX)
+                key = (
+                    jax.lax.bitcast_convert_type(tval, jnp.int32) & ~63
+                ) | iota6
+                kmin = jnp.min(key, axis=0, keepdims=True)  # [1, 128]
+
+                row = pl.ds(base + r, 1)
+                tq = jax.lax.bitcast_convert_type(kmin & ~63, jnp.float32)
+                prim_new = (c * tri_chunk + s * sub) + (kmin & 63)
+                upd = (kmin < _KEY_MISS) & (tq < dist_s[row, :])
+                dist_s[row, :] = jnp.where(upd, tq, dist_s[row, :])
+                prim_s[row, :] = jnp.where(upd, prim_new, prim_s[row, :])
+
+            if use_mask:
+                pl.when((mask_ref[0, r, c] >> s) & 1 != 0)(_sweep)
+            else:
+                _sweep()
+
+    @pl.when(c == n_chunks - 1)
+    def _flush():
+        blk = pl.ds(base, RAY_BLOCK // 128)
+        prim_ref[:] = prim_s[blk, :]
+        dist_ref[:] = dist_s[blk, :]
+
+
+def _quad_occl_kernel(
+    mask_ref,  # SMEM i32 [1, ROWS, n_chunks]
+    c_ref,  # [6, tri_chunk, 28] VMEM quadratic coefficient rows
+    f_ref,  # [28, RAY_BLOCK] VMEM quadratic SEGMENT features (d unnormalized)
+    occ_ref,  # output [RAY_BLOCK//128, 128] i32 (0/1)
+    occ_s,  # VMEM scratch [n_pad//128, 128] i32
+    *, tri_chunk: int, n_chunks: int, sub: int, use_mask: bool,
+):
+    """Any-hit over unit-parameter SEGMENTS: rays carry d = y−x unnormalized,
+    so the in-range test t∈(0,1) is two more quadratic planes (q5, q6) and
+    the epilogue is a pure 6-way min + compare (~7 ops/pair)."""
+    c = pl.program_id(0)
+    i = pl.program_id(1)
+    base = i * (RAY_BLOCK // 128)
+
+    @pl.when(c == 0)
+    def _init():
+        occ_s[pl.ds(base, RAY_BLOCK // 128), :] = jnp.zeros(
+            (RAY_BLOCK // 128, 128), jnp.int32
+        )
+
+    dot = lambda a, b: jax.lax.dot_general(  # noqa: E731
+        a, b, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+    for s in range(tri_chunk // sub):
+        rows = pl.ds(s * sub, sub)
+
+        for r in range(RAY_BLOCK // 128):
+            def _sweep(s=s, rows=rows, r=r):
+                f = f_ref[:, r * 128:(r + 1) * 128]  # [28, 128]
+                q1 = dot(c_ref[0, rows, :], f)
+                q2 = dot(c_ref[1, rows, :], f)
+                q3 = dot(c_ref[2, rows, :], f)
+                q4 = dot(c_ref[3, rows, :], f)
+                q5 = dot(c_ref[4, rows, :], f)
+                q6 = dot(c_ref[5, rows, :], f)
+
+                mmin = jnp.minimum(
+                    jnp.minimum(q1, q2), jnp.minimum(q3, q4)
+                )
+                mmin = jnp.minimum(mmin, jnp.minimum(q5, q6))
+                hit = mmin > 0.0
+                any_hit = jnp.max(hit.astype(jnp.int32), axis=0, keepdims=True)
+                row = pl.ds(base + r, 1)
+                occ_s[row, :] = occ_s[row, :] | any_hit
+
+            if use_mask:
+                pl.when((mask_ref[0, r, c] >> s) & 1 != 0)(_sweep)
+            else:
+                _sweep()
+
+    @pl.when(c == n_chunks - 1)
+    def _flush():
+        occ_ref[:] = occ_s[pl.ds(base, RAY_BLOCK // 128), :]
+
+
+# VMEM scratch is sized to the WHOLE padded wavefront (8 B/lane closest-hit);
+# cap lanes per pallas_call and sweep oversized wavefronts in sub-launches so
+# 1080p+ resolutions cannot blow the ~16 MB VMEM budget (ADVICE round 1).
+MAX_LANES_PER_LAUNCH = 1 << 20
+
+
+def _chunking(num_tris: int):
+    if num_tris > CLUSTER_SUB:
+        sub = CLUSTER_SUB
+        tri_chunk = min(TRI_CHUNK, -(-num_tris // sub) * sub)
+    else:
+        tri_chunk = -(-num_tris // TRI_SUB) * TRI_SUB
+        sub = tri_chunk
+    t_pad = -(-num_tris // tri_chunk) * tri_chunk
+    return sub, tri_chunk, t_pad
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def intersect_quad_pallas(
+    tri_packed, ray_o, ray_d,
+    tri_order=None, cluster_bounds=None, tmax=None,
+    interpret: bool = False,
+):
+    """Closest hit via the quadratic-feature MXU kernel.
+
+    Returns (prim i32[N], dist f32[N]).  ``prim`` is the POSITIONAL index
+    into ``tri_packed`` (the device scene stores triangles pre-permuted in
+    BVH leaf order, so positional == real); pass ``tri_order`` to map
+    positions back through an explicit permutation (adds one gather).
+    ``dist`` is quantized to 64 ulp (≈2^-17 relative) by the winner key.
+    """
+    n = ray_o.shape[0]
+    num_tris = tri_packed.shape[0]
+    sub, tri_chunk, t_pad = _chunking(num_tris)
+    n_chunks = t_pad // tri_chunk
+    subs_per_chunk = tri_chunk // sub
+
+    v0 = tri_packed[:, 0:3]
+    center = jax.lax.stop_gradient(0.5 * (v0.min(axis=0) + v0.max(axis=0)))
+    coeffs = _quad_coeffs(tri_packed, center)
+    coeffs = jnp.pad(coeffs, ((0, 0), (0, t_pad - num_tris), (0, 0)))
+
+    prims = []
+    dists = []
+    for lo in range(0, n, MAX_LANES_PER_LAUNCH):
+        o_i = ray_o[lo:lo + MAX_LANES_PER_LAUNCH]
+        d_i = ray_d[lo:lo + MAX_LANES_PER_LAUNCH]
+        t_i = tmax[lo:lo + MAX_LANES_PER_LAUNCH] if tmax is not None else None
+        p_i, q_i = _quad_launch(
+            coeffs, center, o_i, d_i, t_i, cluster_bounds,
+            num_tris=num_tris, tri_chunk=tri_chunk, n_chunks=n_chunks,
+            sub=sub, subs_per_chunk=subs_per_chunk, interpret=interpret,
+        )
+        prims.append(p_i)
+        dists.append(q_i)
+    prim = prims[0] if len(prims) == 1 else jnp.concatenate(prims)
+    dist = dists[0] if len(dists) == 1 else jnp.concatenate(dists)
+    prim = jnp.where((dist < FLT_MAX) & (prim < num_tris), prim, NULL_PRIMITIVE)
+    if tri_order is not None:
+        prim = jnp.where(prim >= 0, tri_order[jnp.maximum(prim, 0)], prim)
+    return prim, dist
+
+
+def _quad_launch(coeffs, center, ray_o, ray_d, tmax, cluster_bounds, *,
+                 num_tris, tri_chunk, n_chunks, sub, subs_per_chunk,
+                 interpret):
+    n = ray_o.shape[0]
+    n_pad = -(-n // RAY_BLOCK) * RAY_BLOCK
+    n_blocks = n_pad // RAY_BLOCK
+
+    use_mask = cluster_bounds is not None
+    if use_mask:
+        mask = _cluster_mask_bits(
+            cluster_bounds, ray_o, ray_d, tmax,
+            n_blocks, n_chunks, subs_per_chunk,
+        )
+    else:
+        mask = jnp.zeros((n_blocks, 1, 1), jnp.int32)
+
+    feats = _quad_features(ray_o, ray_d, center)  # [N, 28]
+    # padding rays: all-zero features -> every q == 0 -> never valid
+    feats = jnp.pad(feats, ((0, n_pad - n), (0, 0)))
+    feats = feats.T  # [28, N_pad]
+
+    grid = (n_chunks, n_blocks)
+    mask_spec = pl.BlockSpec(
+        (1,) + mask.shape[1:], lambda c, i: (i, 0, 0),
+        memory_space=pltpu.SMEM,
+    )
+    c_spec = pl.BlockSpec(
+        (5, tri_chunk, QUAD_FEATS), lambda c, i: (0, c, 0),
+        memory_space=pltpu.VMEM,
+    )
+    f_spec = pl.BlockSpec(
+        (QUAD_FEATS, RAY_BLOCK), lambda c, i: (0, i), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (RAY_BLOCK // 128, 128), lambda c, i: (i, 0), memory_space=pltpu.VMEM
+    )
+    row_shape = (n_pad // 128, 128)
+    prim, dist = pl.pallas_call(
+        functools.partial(
+            _quad_kernel, tri_chunk=tri_chunk, n_chunks=n_chunks,
+            sub=sub, use_mask=use_mask,
+        ),
+        grid=grid,
+        in_specs=[mask_spec, c_spec, f_spec],
+        out_specs=[out_spec, out_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct(row_shape, jnp.int32),
+            jax.ShapeDtypeStruct(row_shape, jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM(row_shape, jnp.int32),
+            pltpu.VMEM(row_shape, jnp.float32),
+        ],
+        interpret=interpret,
+    )(mask, coeffs, feats)
+    return prim.reshape(-1)[:n], dist.reshape(-1)[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def occlusion_quad_pallas(tri_packed, x, y,
+                          tri_order=None, cluster_bounds=None,
+                          interpret: bool = False):
+    """Shadow query via the quadratic any-hit kernel over unit-parameter
+    segments (epsilon-inset exactly like occlusion_brute: origin advanced
+    1e-5, endpoint pulled back 1e-4 along the normalized direction)."""
+    eps = 1e-4
+    d = y - x
+    dist = jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=-1), 1e-24))
+    dirn = d / dist[..., None]
+    ray_o = x + dirn * 1e-5
+    seg = dirn * (dist - eps - 1e-5)[..., None]  # unnormalized, t in (0,1)
+
+    n = x.shape[0]
+    num_tris = tri_packed.shape[0]
+    sub, tri_chunk, t_pad = _chunking(num_tris)
+    n_chunks = t_pad // tri_chunk
+    subs_per_chunk = tri_chunk // sub
+
+    v0 = tri_packed[:, 0:3]
+    center = jax.lax.stop_gradient(0.5 * (v0.min(axis=0) + v0.max(axis=0)))
+    coeffs = _quad_coeffs(tri_packed, center, with_q6=True)
+    coeffs = jnp.pad(coeffs, ((0, 0), (0, t_pad - num_tris), (0, 0)))
+
+    outs = []
+    for lo in range(0, n, MAX_LANES_PER_LAUNCH):
+        outs.append(_quad_occl_launch(
+            coeffs, center, ray_o[lo:lo + MAX_LANES_PER_LAUNCH],
+            seg[lo:lo + MAX_LANES_PER_LAUNCH], cluster_bounds,
+            tri_chunk=tri_chunk, n_chunks=n_chunks, sub=sub,
+            subs_per_chunk=subs_per_chunk, interpret=interpret,
+        ))
+    occ = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+    return occ != 0
+
+
+def _quad_occl_launch(coeffs, center, ray_o, seg, cluster_bounds, *,
+                      tri_chunk, n_chunks, sub, subs_per_chunk, interpret):
+    n = ray_o.shape[0]
+    n_pad = -(-n // RAY_BLOCK) * RAY_BLOCK
+    n_blocks = n_pad // RAY_BLOCK
+
+    use_mask = cluster_bounds is not None
+    if use_mask:
+        # slab distances over the unnormalized segment are in fractions of
+        # the segment: tmax = 1 bounds the prepass at the light
+        mask = _cluster_mask_bits(
+            cluster_bounds, ray_o, seg, jnp.ones(n, jnp.float32),
+            n_blocks, n_chunks, subs_per_chunk,
+        )
+    else:
+        mask = jnp.zeros((n_blocks, 1, 1), jnp.int32)
+
+    feats = _quad_features(ray_o, seg, center)
+    feats = jnp.pad(feats, ((0, n_pad - n), (0, 0)))
+    feats = feats.T  # [28, N_pad]
+
+    grid = (n_chunks, n_blocks)
+    mask_spec = pl.BlockSpec(
+        (1,) + mask.shape[1:], lambda c, i: (i, 0, 0),
+        memory_space=pltpu.SMEM,
+    )
+    c_spec = pl.BlockSpec(
+        (6, tri_chunk, QUAD_FEATS), lambda c, i: (0, c, 0),
+        memory_space=pltpu.VMEM,
+    )
+    f_spec = pl.BlockSpec(
+        (QUAD_FEATS, RAY_BLOCK), lambda c, i: (0, i), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (RAY_BLOCK // 128, 128), lambda c, i: (i, 0), memory_space=pltpu.VMEM
+    )
+    row_shape = (n_pad // 128, 128)
+    occ = pl.pallas_call(
+        functools.partial(
+            _quad_occl_kernel, tri_chunk=tri_chunk, n_chunks=n_chunks,
+            sub=sub, use_mask=use_mask,
+        ),
+        grid=grid,
+        in_specs=[mask_spec, c_spec, f_spec],
+        out_specs=[out_spec],
+        out_shape=[jax.ShapeDtypeStruct(row_shape, jnp.int32)],
+        scratch_shapes=[pltpu.VMEM(row_shape, jnp.int32)],
+        interpret=interpret,
+    )(mask, coeffs, feats)[0]
+    return occ.reshape(-1)[:n]
+
+
 # Above this triangle count the O(N*T) dense sweep loses to the BVH walk:
 # the sweep sustains ~7.7 G ray-tri tests/s (VPU-bound: ~8 ops/pair epilogue)
 # while the gather-bound lockstep walk costs ~45 ms per 25k-ray traversal

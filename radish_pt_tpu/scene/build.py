@@ -134,23 +134,34 @@ def build_device_scene(
         else:
             intersector = "brute"
 
-    # ---- spatial permutation + culling clusters for the MXU intersector ----
-    # BVH leaf (DFS) order groups spatially close triangles; AABBs over
-    # consecutive 64-triangle groups drive per-ray-block sub-cluster culling
+    # ---- global spatial permutation + culling clusters ----
+    # The WHOLE scene is stored in BVH leaf (DFS) order: spatially close
+    # triangles are contiguous, so (a) consecutive CLUSTER_SUB-sized groups
+    # make tight culling AABBs and (b) the MXU kernel's POSITIONAL winner
+    # index (cluster base + sublane) IS the primitive id — no id matmul and
+    # no unpermute gather anywhere (accel/pallas_kernels.py quad kernels).
     lm = np.asarray(bvh.leaf_map)
     tri_order = lm[lm >= 0].astype(np.int32)
     assert tri_order.size == num_tris, "leaf_map must cover every triangle"
+    inv_order = np.empty_like(tri_order)
+    inv_order[tri_order] = np.arange(num_tris, dtype=np.int32)
+    tri_v = tri_v[tri_order]
+    tri_n = tri_n[tri_order]
+    tri_uv = tri_uv[tri_order]
+    material_ids = material_ids[tri_order]
+    light_prims = [int(inv_order[p]) for p in light_prims]
+    leaf_map = np.where(lm >= 0, inv_order[np.clip(lm, 0, None)], lm)
+
     cluster_bounds = None
     # below ~1k triangles the dense sweep is ~1 ms, so the culling prepass
     # (~4 ms) and the bounce-ray sorting (~12 ms) are net losses
     if num_tris > 1024:
         from ..accel.pallas_kernels import CLUSTER_SUB
 
-        tvp = tri_v[tri_order]  # [T, 3, 3] permuted
         n_clusters = -(-num_tris // CLUSTER_SUB)
         cb = np.empty((n_clusters, 6), np.float32)
         for ci in range(n_clusters):
-            g = tvp[ci * CLUSTER_SUB:(ci + 1) * CLUSTER_SUB].reshape(-1, 3)
+            g = tri_v[ci * CLUSTER_SUB:(ci + 1) * CLUSTER_SUB].reshape(-1, 3)
             cb[ci, 0:3] = g.min(axis=0)
             cb[ci, 3:6] = g.max(axis=0)
         cluster_bounds = cb
@@ -189,12 +200,12 @@ def build_device_scene(
         bounds_max=jnp.asarray(bvh.bounds_max),
         bvh_packed=jnp.asarray(pack_bvh(bvh)),
         tri_packed=jnp.asarray(pack_tris(tri_v)),
-        tri_order=jnp.asarray(tri_order),
+        tri_order=None,  # scene is stored pre-permuted: positional == real id
         cluster_bounds=(
             jnp.asarray(cluster_bounds) if cluster_bounds is not None else None
         ),
         leaf_tris=jnp.asarray(bvh.leaf_tris),
-        leaf_map=jnp.asarray(bvh.leaf_map),
+        leaf_map=jnp.asarray(leaf_map),
         mat_type=jnp.asarray([m.mtype for m in mats], jnp.int32),
         mat_base_color=jnp.asarray([m.base_color for m in mats], jnp.float32),
         mat_metallic=jnp.asarray([m.metallic for m in mats], jnp.float32),

@@ -216,20 +216,30 @@ def surface_info(ds: DeviceScene, prim_id, bary) -> tuple:
 
 
 def surface_info_from_t(ds: DeviceScene, prim_id, ray_o, ray_d, dist):
-    """Position/normal/uv from the hit DISTANCE alone (MXU intersector path).
+    """Position/normal/uv from the winning PRIMITIVE id (MXU intersector path).
 
-    The Plücker kernel returns (prim, t) without barycentrics; project the
-    hit point onto the winning triangle's edge basis to recover them — uses
-    the same single [T,25] attribute gather as :func:`surface_info`, so no
-    extra memory traffic.  The position is then re-interpolated
-    barycentrically, which puts it exactly on the triangle plane (better for
-    the self-intersection epsilon than o + t*d).
+    The MXU sweep's ``t`` is selector-grade only: the quadratic-feature
+    epilogue squares MT's condition number, so grazing hits can carry ~1%
+    distance error (and the winner key quantizes 64 ulp more).  The winner
+    id, however, is robust — so recompute the EXACT hit distance here from
+    the gathered triangle row via the well-conditioned ray-plane form
+    t = (v0−o)·n / (d·n), then derive barycentrics by projecting onto the
+    edge basis.  Uses the same single [T,25] attribute gather as
+    :func:`surface_info` — no extra memory traffic; ``dist`` is unused
+    except as a sanity clamp for dead lanes.
     """
     a = take_rows(ds.tri_attr, jnp.maximum(prim_id, 0))
     v0 = a[:, 0:3]
     e1 = a[:, 3:6] - v0
     e2 = a[:, 6:9] - v0
-    p = ray_o + ray_d * jnp.minimum(dist, 1e8)[..., None] - v0
+    gn = jnp.cross(e1, e2)
+    denom = m.dot(ray_d, gn)
+    # winners satisfy |d·n| > eps; the guard only protects dead lanes
+    t_exact = m.dot(v0 - ray_o, gn) / jnp.where(
+        jnp.abs(denom) > 1e-30, denom, 1e-30
+    )
+    t_exact = jnp.clip(t_exact, 0.0, 1e8)
+    p = ray_o + ray_d * t_exact[..., None] - v0
     d11 = m.dot(e1, e1)
     d12 = m.dot(e1, e2)
     d22 = m.dot(e2, e2)
@@ -257,12 +267,12 @@ def intersect(ds: DeviceScene, ray_o, ray_d, active=None) -> Interaction:
     scalar branch.  Dead lanes return prim_id == NULL_PRIMITIVE.
     """
     if ds.intersector == "pallas_mxu":
-        from ..accel.pallas_kernels import FLT_MAX, intersect_plucker_pallas
+        from ..accel.pallas_kernels import FLT_MAX, intersect_quad_pallas
 
         tmax = None
         if active is not None:
             tmax = jnp.where(active, FLT_MAX, -FLT_MAX)
-        prim, dist = intersect_plucker_pallas(
+        prim, dist = intersect_quad_pallas(
             ds.tri_packed, ray_o, ray_d,
             tri_order=ds.tri_order, cluster_bounds=ds.cluster_bounds,
             tmax=tmax,
@@ -328,13 +338,13 @@ def intersect_sorted(ds: DeviceScene, ray_o, ray_d, active=None) -> Interaction:
         # sort then carries only 2 payload columns and the surface/material
         # interpolation happens in PIXEL order (same gather cost, ~8 fewer
         # sort columns)
-        from ..accel.pallas_kernels import FLT_MAX, intersect_plucker_pallas
+        from ..accel.pallas_kernels import FLT_MAX, intersect_quad_pallas
 
         tmax = None
         if active is not None:
             # dead lanes (sorted to the back) flag no clusters: tmax = -inf
             tmax = jnp.where(s[8], FLT_MAX, -FLT_MAX)
-        prim_s, dist_s = intersect_plucker_pallas(
+        prim_s, dist_s = intersect_quad_pallas(
             ds.tri_packed, o_s, d_s,
             tri_order=ds.tri_order, cluster_bounds=ds.cluster_bounds,
             tmax=tmax,
@@ -474,9 +484,9 @@ def test_occlusion_sorted(ds: DeviceScene, x, y, mask=None):
 def test_occlusion(ds: DeviceScene, x, y):
     """True where segment x->y is blocked (testOcclusion, scene.h:303-334)."""
     if ds.intersector == "pallas_mxu":
-        from ..accel.pallas_kernels import occlusion_plucker_pallas
+        from ..accel.pallas_kernels import occlusion_quad_pallas
 
-        return occlusion_plucker_pallas(
+        return occlusion_quad_pallas(
             ds.tri_packed, x, y,
             tri_order=ds.tri_order, cluster_bounds=ds.cluster_bounds,
         )

@@ -9,8 +9,10 @@ from radish_pt_tpu.accel import traverse as trv
 from radish_pt_tpu.accel.pallas_kernels import (
     intersect_brute_pallas,
     intersect_plucker_pallas,
+    intersect_quad_pallas,
     occlusion_brute_pallas,
     occlusion_plucker_pallas,
+    occlusion_quad_pallas,
 )
 
 
@@ -114,7 +116,7 @@ def test_plucker_surface_recovery(scene_rays):
     )
     hits = np.asarray(p0) >= 0
     np.testing.assert_allclose(
-        np.asarray(pos_t)[hits], np.asarray(pos_b)[hits], atol=1e-4
+        np.asarray(pos_t)[hits], np.asarray(pos_b)[hits], atol=5e-4
     )
     np.testing.assert_allclose(
         np.asarray(norm_t)[hits], np.asarray(norm_b)[hits], atol=1e-3
@@ -122,6 +124,63 @@ def test_plucker_surface_recovery(scene_rays):
     np.testing.assert_allclose(
         np.asarray(uv_t)[hits], np.asarray(uv_b)[hits], atol=1e-3
     )
+
+
+def test_quad_matches_xla(scene_rays):
+    """The quadratic-feature kernel must agree with brute MT on prim ids
+    (random rays, no edge-grazing near-ties).  Its ``t`` is SELECTOR-grade:
+    the quadratic form squares MT's condition number, so grazing hits carry
+    up to ~1% distance error (surface_info_from_t recomputes exact t from
+    the winner id; renderers never consume this raw value)."""
+    tri_packed, ray_o, ray_d = scene_rays
+    p0, d0, _ = trv.intersect_brute(tri_packed, ray_o, ray_d)
+    p1, d1 = intersect_quad_pallas(tri_packed, ray_o, ray_d, interpret=True)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p0))
+    hits = np.asarray(p0) >= 0
+    np.testing.assert_allclose(
+        np.asarray(d1)[hits], np.asarray(d0)[hits], rtol=3e-2
+    )
+
+
+def test_quad_culled_matches(scene_rays):
+    """Cluster-mask culling + explicit tri_order permutation must be
+    invisible in results (conservative culling, positional ids mapped back)."""
+    tri_packed, ray_o, ray_d = scene_rays
+    t = tri_packed.shape[0]
+    rng = np.random.default_rng(11)
+    order = jnp.asarray(rng.permutation(t).astype(np.int32))
+    tp = np.asarray(tri_packed)[np.asarray(order)]
+    v = np.stack(
+        [tp[:, 0:3], tp[:, 0:3] + tp[:, 3:6], tp[:, 0:3] + tp[:, 6:9]], axis=1
+    )
+    n_clusters = -(-t // 64)
+    cb = np.empty((n_clusters, 6), np.float32)
+    for ci in range(n_clusters):
+        g = v[ci * 64:(ci + 1) * 64].reshape(-1, 3)
+        cb[ci, 0:3] = g.min(axis=0)
+        cb[ci, 3:6] = g.max(axis=0)
+    p0, d0 = intersect_quad_pallas(tri_packed, ray_o, ray_d, interpret=True)
+    p1, d1 = intersect_quad_pallas(
+        jnp.asarray(tp), ray_o, ray_d,
+        tri_order=order, cluster_bounds=jnp.asarray(cb), interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p0))
+    hits = np.asarray(p0) >= 0
+    # different triangle order -> different f32 summation order; selector-
+    # grade t may wiggle within its conditioning bound
+    np.testing.assert_allclose(
+        np.asarray(d1)[hits], np.asarray(d0)[hits], rtol=3e-2
+    )
+
+
+def test_quad_occlusion_matches_xla(scene_rays):
+    tri_packed, ray_o, ray_d = scene_rays
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(-4, 4, size=(64, 3)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(-4, 4, size=(64, 3)).astype(np.float32))
+    o0 = trv.occlusion_brute(tri_packed, x, y)
+    o1 = occlusion_quad_pallas(tri_packed, x, y, interpret=True)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o0))
 
 
 def test_plucker_occlusion_matches_xla(scene_rays):

@@ -18,6 +18,10 @@ import jax.numpy as jnp
 
 sys.path.insert(0, ".")
 
+from radish_pt_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+
 from radish_pt_tpu.render import pathtrace as pt
 from radish_pt_tpu.sampling import rng
 from radish_pt_tpu.scene import build as sbuild

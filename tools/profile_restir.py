@@ -16,6 +16,10 @@ import jax.numpy as jnp
 
 sys.path.insert(0, ".")
 
+from radish_pt_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+
 from radish_pt_tpu.config import ReservoirReuse
 from radish_pt_tpu.render import gbuffer as gb
 from radish_pt_tpu.render import restir as rs

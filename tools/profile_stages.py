@@ -21,6 +21,10 @@ import jax.numpy as jnp
 
 sys.path.insert(0, ".")
 
+from radish_pt_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+
 from radish_pt_tpu.bsdf import materials as bsdf
 from radish_pt_tpu.render import pathtrace as pt
 from radish_pt_tpu.sampling import rng
