@@ -451,6 +451,21 @@ def intersect_plucker_pallas(
     ``tmax`` (f32 [N]) tightens the prepass for segment queries (shadows).
     """
     n = ray_o.shape[0]
+    if n > MAX_LANES_PER_LAUNCH:
+        # VMEM hit-state scratch is sized to the whole launch (n_pad * 8 B);
+        # split oversized wavefronts so 1080p+ cannot exceed the VMEM budget.
+        prims, dists = [], []
+        for lo in range(0, n, MAX_LANES_PER_LAUNCH):
+            hi = lo + MAX_LANES_PER_LAUNCH
+            p, t = intersect_plucker_pallas(
+                tri_packed, ray_o[lo:hi], ray_d[lo:hi],
+                tri_order=tri_order, cluster_bounds=cluster_bounds,
+                tmax=None if tmax is None else tmax[lo:hi],
+                interpret=interpret,
+            )
+            prims.append(p)
+            dists.append(t)
+        return jnp.concatenate(prims), jnp.concatenate(dists)
     num_tris = tri_packed.shape[0]
     n_pad = -(-n // RAY_BLOCK) * RAY_BLOCK
     if num_tris > CLUSTER_SUB:
@@ -540,6 +555,17 @@ def occlusion_plucker_pallas(tri_packed, x, y,
     """Shadow query via the dedicated ANY-HIT MXU kernel (no id matmul,
     no division, no closest-hit reduce, per-row early-out); the segment
     length bounds both the culling prepass and the in-range test."""
+    if x.shape[0] > MAX_LANES_PER_LAUNCH:
+        # see intersect_plucker_pallas: cap per-launch VMEM scratch
+        return jnp.concatenate([
+            occlusion_plucker_pallas(
+                tri_packed, x[lo:lo + MAX_LANES_PER_LAUNCH],
+                y[lo:lo + MAX_LANES_PER_LAUNCH],
+                tri_order=tri_order, cluster_bounds=cluster_bounds,
+                interpret=interpret,
+            )
+            for lo in range(0, x.shape[0], MAX_LANES_PER_LAUNCH)
+        ])
     eps = 1e-4
     d = y - x
     dist = jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=-1), 1e-24))
@@ -587,8 +613,13 @@ def occlusion_plucker_pallas(tri_packed, x, y,
     feats = jnp.concatenate(
         [ray_d, m, o, jnp.ones_like(o[:, :1]), max_dist[:, None]], axis=1
     )  # [N, 11]
-    # padding rays: tmax = -inf -> no hits possible
-    feats = jnp.pad(feats, ((0, n_pad - n), (0, 0)), constant_values=-FLT_MAX)
+    # padding rays: zero geometry features -> every dot is 0, so the
+    # |det|>=eps plane already fails (v = -eps^2 < 0); the tmax row gets a
+    # negative sentinel as belt-and-braces.  Zeros keep every product finite
+    # (no inf/NaN riding on IEEE compare semantics).
+    feats = jnp.pad(feats, ((0, n_pad - n), (0, 0)))
+    if n_pad > n:
+        feats = feats.at[n:, 10].set(-FLT_MAX)
     feats = feats.T  # [11, N_pad]
 
     grid = (n_chunks, n_blocks)
@@ -650,8 +681,44 @@ def occlusion_plucker_pallas(tri_packed, x, y,
 # POSITIONAL (chunk base + sublane): the scene is stored pre-permuted in BVH
 # leaf order (scene/build.py), so no id matmul and no unpermute gather.
 
+# Precision scheme: Mosaic's f32 matmul ("HIGHEST") costs ~6 bf16 MXU passes
+# and measured ~2x the wall-clock of single-pass bf16 — but the matmul OP
+# overhead dominates flops here, so instead of separate passes the bf16x3
+# product (hi·hi + hi·lo + lo·hi after splitting each f32 into two bf16s,
+# ~17-bit effective mantissa) is folded into the K DIMENSION of one matmul:
+#   q = [Chi | Chi | Clo] @ [Ghi; Glo; Ghi]       (K: 28 -> 84, pad 96)
+# and all decision planes stack into the M dimension:
+#   [5·sub, 96] @ [96, 128]  — ONE MXU op per (cluster, 128 rays).
+# Decision-boundary noise ~1e-5 of the largest term (vs ~4e-3 raw bf16,
+# ~1e-7 f32) — inside the f32 cancellation noise of the quadratic form
+# itself, and far below anything visible in a Monte Carlo render.
+
 QUAD_FEATS = 28  # 27 used + 1 pad ([27] is a constant-1 slot, currently 0-coef)
+QUAD_K = QUAD_FEATS
 _KEY_MISS = 0x7F7FFFC0  # bitcast(FLT_MAX) & ~63: "no hit in this cluster"
+
+
+# NOTE on precision (measured, round 2): a bf16x3 emulation (split f32 into
+# hi/lo bf16, K-stack the three cross-products) runs ~2x faster but the
+# quadratic form SQUARES MT's condition number — moderately grazing hits
+# (det ~ 3e-3·|a||d|) land inside the 2^-17 product-noise band and get lost
+# entirely.  The planes must be f32; the matmul op overhead is amortized by
+# stacking all G decision planes into the M dimension instead (one
+# [G*sub, 28] @ [28, 128] HIGHEST op per cluster).
+
+
+def _stack_coeffs(coeffs, sub: int):
+    """[G, T, 28] f32 -> [T//sub, G*sub, 28]: all G decision planes of one
+    cluster stacked into the matmul M dimension."""
+    g, t, k = coeffs.shape
+    ck = coeffs.reshape(g, t // sub, sub, k)
+    return ck.transpose(1, 0, 2, 3).reshape(t // sub, g * sub, k)
+
+
+def _stack_feats(feats):
+    """[N, 28] f32 features (identity hook: kept so the feature layout and
+    the coeff stacking stay in one place)."""
+    return feats
 
 
 def _quad_features(ray_o, ray_d, center):
@@ -726,8 +793,8 @@ def _quad_coeffs(tri_packed, center, with_q6: bool = False):
 
 def _quad_kernel(
     mask_ref,  # SMEM i32 [1, ROWS, n_chunks]
-    c_ref,  # [5, tri_chunk, 28] VMEM quadratic coefficient rows
-    f_ref,  # [28, RAY_BLOCK] VMEM quadratic ray features
+    c_ref,  # [subs_per_chunk, 5*sub, 28] VMEM f32 stacked coefficients
+    f_ref,  # [28, RAY_BLOCK] VMEM f32 ray features
     prim_ref, dist_ref,  # outputs [RAY_BLOCK//128, 128]
     prim_s, dist_s,  # VMEM scratch [n_pad//128, 128], persists across grid
     *, tri_chunk: int, n_chunks: int, sub: int, use_mask: bool,
@@ -752,16 +819,15 @@ def _quad_kernel(
     iota6 = jax.lax.broadcasted_iota(jnp.int32, (sub, 128), 0)
 
     for s in range(tri_chunk // sub):
-        rows = pl.ds(s * sub, sub)
-
         for r in range(RAY_BLOCK // 128):
-            def _sweep(s=s, rows=rows, r=r):
+            def _sweep(s=s, r=r):
                 f = f_ref[:, r * 128:(r + 1) * 128]  # [28, 128]
-                q1 = dot(c_ref[0, rows, :], f)  # [sub, 128]
-                q2 = dot(c_ref[1, rows, :], f)
-                q3 = dot(c_ref[2, rows, :], f)
-                q4 = dot(c_ref[3, rows, :], f)
-                q5 = dot(c_ref[4, rows, :], f)
+                q = dot(c_ref[s], f)  # ONE [5*sub,28]@[28,128] f32 MXU op
+                q1 = q[0 * sub:1 * sub, :]
+                q2 = q[1 * sub:2 * sub, :]
+                q3 = q[2 * sub:3 * sub, :]
+                q4 = q[3 * sub:4 * sub, :]
+                q5 = q[4 * sub:5 * sub, :]
 
                 mmin = jnp.minimum(
                     jnp.minimum(q1, q2), jnp.minimum(q3, q4)
@@ -796,8 +862,8 @@ def _quad_kernel(
 
 def _quad_occl_kernel(
     mask_ref,  # SMEM i32 [1, ROWS, n_chunks]
-    c_ref,  # [6, tri_chunk, 28] VMEM quadratic coefficient rows
-    f_ref,  # [28, RAY_BLOCK] VMEM quadratic SEGMENT features (d unnormalized)
+    c_ref,  # [subs_per_chunk, 6*sub, 28] VMEM f32 stacked coefficients
+    f_ref,  # [28, RAY_BLOCK] VMEM f32 SEGMENT features (unnormalized)
     occ_ref,  # output [RAY_BLOCK//128, 128] i32 (0/1)
     occ_s,  # VMEM scratch [n_pad//128, 128] i32
     *, tri_chunk: int, n_chunks: int, sub: int, use_mask: bool,
@@ -822,17 +888,16 @@ def _quad_occl_kernel(
     )
 
     for s in range(tri_chunk // sub):
-        rows = pl.ds(s * sub, sub)
-
         for r in range(RAY_BLOCK // 128):
-            def _sweep(s=s, rows=rows, r=r):
+            def _sweep(s=s, r=r):
                 f = f_ref[:, r * 128:(r + 1) * 128]  # [28, 128]
-                q1 = dot(c_ref[0, rows, :], f)
-                q2 = dot(c_ref[1, rows, :], f)
-                q3 = dot(c_ref[2, rows, :], f)
-                q4 = dot(c_ref[3, rows, :], f)
-                q5 = dot(c_ref[4, rows, :], f)
-                q6 = dot(c_ref[5, rows, :], f)
+                q = dot(c_ref[s], f)  # ONE [6*sub,28]@[28,128] f32 MXU op
+                q1 = q[0 * sub:1 * sub, :]
+                q2 = q[1 * sub:2 * sub, :]
+                q3 = q[2 * sub:3 * sub, :]
+                q4 = q[3 * sub:4 * sub, :]
+                q5 = q[4 * sub:5 * sub, :]
+                q6 = q[5 * sub:6 * sub, :]
 
                 mmin = jnp.minimum(
                     jnp.minimum(q1, q2), jnp.minimum(q3, q4)
@@ -894,6 +959,7 @@ def intersect_quad_pallas(
     center = jax.lax.stop_gradient(0.5 * (v0.min(axis=0) + v0.max(axis=0)))
     coeffs = _quad_coeffs(tri_packed, center)
     coeffs = jnp.pad(coeffs, ((0, 0), (0, t_pad - num_tris), (0, 0)))
+    coeffs = _stack_coeffs(coeffs, sub)  # [t_pad//sub, 5*sub, 28] f32
 
     prims = []
     dists = []
@@ -935,7 +1001,7 @@ def _quad_launch(coeffs, center, ray_o, ray_d, tmax, cluster_bounds, *,
     feats = _quad_features(ray_o, ray_d, center)  # [N, 28]
     # padding rays: all-zero features -> every q == 0 -> never valid
     feats = jnp.pad(feats, ((0, n_pad - n), (0, 0)))
-    feats = feats.T  # [28, N_pad]
+    feats = _stack_feats(feats).T  # [28, N_pad] f32
 
     grid = (n_chunks, n_blocks)
     mask_spec = pl.BlockSpec(
@@ -943,11 +1009,11 @@ def _quad_launch(coeffs, center, ray_o, ray_d, tmax, cluster_bounds, *,
         memory_space=pltpu.SMEM,
     )
     c_spec = pl.BlockSpec(
-        (5, tri_chunk, QUAD_FEATS), lambda c, i: (0, c, 0),
+        (subs_per_chunk, 5 * sub, QUAD_K), lambda c, i: (c, 0, 0),
         memory_space=pltpu.VMEM,
     )
     f_spec = pl.BlockSpec(
-        (QUAD_FEATS, RAY_BLOCK), lambda c, i: (0, i), memory_space=pltpu.VMEM
+        (QUAD_K, RAY_BLOCK), lambda c, i: (0, i), memory_space=pltpu.VMEM
     )
     out_spec = pl.BlockSpec(
         (RAY_BLOCK // 128, 128), lambda c, i: (i, 0), memory_space=pltpu.VMEM
@@ -998,6 +1064,7 @@ def occlusion_quad_pallas(tri_packed, x, y,
     center = jax.lax.stop_gradient(0.5 * (v0.min(axis=0) + v0.max(axis=0)))
     coeffs = _quad_coeffs(tri_packed, center, with_q6=True)
     coeffs = jnp.pad(coeffs, ((0, 0), (0, t_pad - num_tris), (0, 0)))
+    coeffs = _stack_coeffs(coeffs, sub)  # [t_pad//sub, 6*sub, 28] f32
 
     outs = []
     for lo in range(0, n, MAX_LANES_PER_LAUNCH):
@@ -1030,7 +1097,7 @@ def _quad_occl_launch(coeffs, center, ray_o, seg, cluster_bounds, *,
 
     feats = _quad_features(ray_o, seg, center)
     feats = jnp.pad(feats, ((0, n_pad - n), (0, 0)))
-    feats = feats.T  # [28, N_pad]
+    feats = _stack_feats(feats).T  # [28, N_pad] f32
 
     grid = (n_chunks, n_blocks)
     mask_spec = pl.BlockSpec(
@@ -1038,11 +1105,11 @@ def _quad_occl_launch(coeffs, center, ray_o, seg, cluster_bounds, *,
         memory_space=pltpu.SMEM,
     )
     c_spec = pl.BlockSpec(
-        (6, tri_chunk, QUAD_FEATS), lambda c, i: (0, c, 0),
+        (subs_per_chunk, 6 * sub, QUAD_K), lambda c, i: (c, 0, 0),
         memory_space=pltpu.VMEM,
     )
     f_spec = pl.BlockSpec(
-        (QUAD_FEATS, RAY_BLOCK), lambda c, i: (0, i), memory_space=pltpu.VMEM
+        (QUAD_K, RAY_BLOCK), lambda c, i: (0, i), memory_space=pltpu.VMEM
     )
     out_spec = pl.BlockSpec(
         (RAY_BLOCK // 128, 128), lambda c, i: (i, 0), memory_space=pltpu.VMEM

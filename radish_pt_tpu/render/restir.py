@@ -317,6 +317,10 @@ def restir_direct(
     vis = shade & (res.weight > 0.0)
     target = it.pos + res.wi * res.dist[..., None]
     occluded = dsc.test_occlusion_sorted(ds, it.pos, target, mask=vis)
+    # NOTE: this zeroes NON-SHADE lanes (misses, direct light hits) too, not
+    # just occluded winners as the reference does (restir.cu:160-163) — their
+    # candidate weights were never visibility-tested, and zero is the safe
+    # value to feed temporal history (the merge validates prim match anyway).
     res = res.replace(weight=jnp.where(vis & ~occluded, res.weight, 0.0))
 
     # ---- temporal reuse (first_frame is traced: no recompile across frames) ----

@@ -267,12 +267,12 @@ def intersect(ds: DeviceScene, ray_o, ray_d, active=None) -> Interaction:
     scalar branch.  Dead lanes return prim_id == NULL_PRIMITIVE.
     """
     if ds.intersector == "pallas_mxu":
-        from ..accel.pallas_kernels import FLT_MAX, intersect_quad_pallas
+        from ..accel.pallas_kernels import FLT_MAX, intersect_plucker_pallas
 
         tmax = None
         if active is not None:
             tmax = jnp.where(active, FLT_MAX, -FLT_MAX)
-        prim, dist = intersect_quad_pallas(
+        prim, dist = intersect_plucker_pallas(
             ds.tri_packed, ray_o, ray_d,
             tri_order=ds.tri_order, cluster_bounds=ds.cluster_bounds,
             tmax=tmax,
@@ -291,6 +291,10 @@ def intersect(ds: DeviceScene, ray_o, ray_d, active=None) -> Interaction:
         )
     else:
         prim, dist, bary = trv.intersect_brute(ds.tri_packed, ray_o, ray_d)
+    if active is not None:
+        # honor the dead-lane contract for the non-MXU engines too (the MXU
+        # branch above masks before surface_info_from_t)
+        prim = jnp.where(active, prim, -1)
     pos, norm, uv, mat_id = surface_info(ds, prim, bary)
     return Interaction(prim_id=prim, mat_id=mat_id, pos=pos, norm=norm, uv=uv)
 
@@ -338,13 +342,13 @@ def intersect_sorted(ds: DeviceScene, ray_o, ray_d, active=None) -> Interaction:
         # sort then carries only 2 payload columns and the surface/material
         # interpolation happens in PIXEL order (same gather cost, ~8 fewer
         # sort columns)
-        from ..accel.pallas_kernels import FLT_MAX, intersect_quad_pallas
+        from ..accel.pallas_kernels import FLT_MAX, intersect_plucker_pallas
 
         tmax = None
         if active is not None:
             # dead lanes (sorted to the back) flag no clusters: tmax = -inf
             tmax = jnp.where(s[8], FLT_MAX, -FLT_MAX)
-        prim_s, dist_s = intersect_quad_pallas(
+        prim_s, dist_s = intersect_plucker_pallas(
             ds.tri_packed, o_s, d_s,
             tri_order=ds.tri_order, cluster_bounds=ds.cluster_bounds,
             tmax=tmax,
@@ -484,9 +488,9 @@ def test_occlusion_sorted(ds: DeviceScene, x, y, mask=None):
 def test_occlusion(ds: DeviceScene, x, y):
     """True where segment x->y is blocked (testOcclusion, scene.h:303-334)."""
     if ds.intersector == "pallas_mxu":
-        from ..accel.pallas_kernels import occlusion_quad_pallas
+        from ..accel.pallas_kernels import occlusion_plucker_pallas
 
-        return occlusion_quad_pallas(
+        return occlusion_plucker_pallas(
             ds.tri_packed, x, y,
             tri_order=ds.tri_order, cluster_bounds=ds.cluster_bounds,
         )

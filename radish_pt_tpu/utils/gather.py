@@ -31,8 +31,14 @@ def take_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
     Strategy by table size: select chain (<=8 rows) -> one-hot MXU matmul
     (f32 2D tables <=256 rows) -> real gather.
+
+    Contract: out-of-range ``idx`` is clamped to [0, L-1] (matching XLA
+    gather's clamp mode) on every path; the one-hot path additionally
+    assumes a FINITE table (a non-finite row would poison results through
+    0*inf = NaN).
     """
     n_rows = table.shape[0]
+    idx = jnp.clip(idx, 0, n_rows - 1)
     if n_rows == 1:
         return jnp.broadcast_to(table[0], idx.shape + table.shape[1:])
     if n_rows <= SMALL_TABLE_MAX_ROWS:
