@@ -223,14 +223,64 @@ def occlusion_brute_pallas(tri_packed, x, y, interpret: bool = False):
 PLUCKER_EPS2 = 1.1920929e-07 ** 2  # det² threshold == |det| >= eps
 CLUSTER_SUB = 64  # triangles per cullable sub-cluster (one SMEM mask bit)
 
+# Precision scheme for the LINEAR Plücker planes: Mosaic supports only
+# DEFAULT and HIGHEST dot precisions, and HIGHEST (6-pass f32 emulation)
+# streams 6x the MXU rows.  Instead the bf16x3 product is built by hand and
+# folded into the K DIMENSION of ONE single-pass bf16 matmul:
+#
+#   q = [Chi | Chi | Clo] @ [Fhi; Flo; Fhi]        (K: 10 -> 30)
+#
+# (hi = bf16(x), lo = bf16(x - hi); the dropped lo*lo term is ~2^-32).
+# Product noise is ~2^-16..-17 of the largest term.  The linear forms carry
+# MT's own conditioning (NOT squared like the quadratic kernel's planes, for
+# which this scheme measurably loses grazing hits), so decisions flip only
+# within ~1e-5 of triangle extent of an edge and t errs ~3e-5 relative —
+# invisible in a Monte Carlo render (and the renderer recomputes exact t
+# from the winner id anyway, surface_info_from_t).  The segment tmax for
+# shadows stays f32 in a separate row (bf16's 8-bit mantissa IS too coarse).
+#
+# Measured (v5e, 800x800 frames): the single-pass bf16 op wins on SMALL
+# scenes where each [4*sub,K]@[K,128] op is latency-bound and the 6-pass
+# HIGHEST chain serializes (cornell 36 tris: 32.2 -> 26.2 ms/frame,
+# ReSTIR 36.9 -> 34.9); at teapot scale (4,350 tris) the two are a wash
+# per-sweep and f32 avoids the 3x feature/coefficient prep, so the choice
+# auto-switches on triangle count (override per call with ``bf16x3=``).
+
+
+PLUCKER_BF16X3_MAX_TRIS = 2048  # auto threshold: <= this many tris -> bf16x3
+
+
+def _stack4(coeffs, sub, bf16x3):
+    """[4, T, 10] plane coefficients -> [T//sub, 4*sub, 10|30]: all four
+    decision planes of one sub-cluster stacked into the matmul M dimension
+    (ONE MXU op per sweep instead of four latency-bound ones) and, for
+    bf16x3, the hi/lo split stacked into K."""
+    g, t, k = coeffs.shape
+    ck = coeffs.reshape(g, t // sub, sub, k)
+    ck = ck.transpose(1, 0, 2, 3).reshape(t // sub, g * sub, k)
+    if not bf16x3:
+        return ck
+    hi = ck.astype(jnp.bfloat16)
+    lo = (ck - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([hi, hi, lo], axis=-1)  # [T//sub, 4*sub, 3k]
+
+
+def _split_feats(feats, bf16x3):
+    """[K, N] f32 ray features -> [3K, N] bf16 rows [Fhi; Flo; Fhi]."""
+    if not bf16x3:
+        return feats
+    hi = feats.astype(jnp.bfloat16)
+    lo = (feats - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([hi, lo, hi], axis=0)
+
 
 def _plucker_kernel(
     mask_ref,  # SMEM i32 [1, ROWS, n_chunks]: bit s => sweep sub-cluster s
-    c_ref,  # [5, tri_chunk, 10] VMEM coefficient rows (det/bx/by/tdet/id)
+    c_ref,  # [subs_per_chunk, 4*sub, 10] VMEM stacked coefficient planes
     f_ref,  # [10, RAY_BLOCK] VMEM ray features
     prim_ref, dist_ref,  # outputs [RAY_BLOCK//128, 128]
     prim_s, dist_s,  # VMEM scratch [n_pad//128, 128], persists across grid
-    *, tri_chunk: int, n_chunks: int, sub: int, use_mask: bool,
+    *, tri_chunk: int, n_chunks: int, sub: int, use_mask: bool, bf16x3: bool,
 ):
     # grid = (chunk OUTER, ray-block INNER): each [5, tri_chunk, 10]
     # coefficient block is DMA'd once per outer step (one pass over the
@@ -253,29 +303,31 @@ def _plucker_kernel(
 
     dot = lambda a, b: jax.lax.dot_general(  # noqa: E731
         a, b, (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=None if bf16x3 else jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     )
 
     # Cull masks are per 128-ray ROW, not per 1024-ray block: sorted
     # wavefronts are far more coherent at row granularity, so each row
     # skips sub-clusters its 8x-wider block would have had to sweep.
+    # winner ids are POSITIONAL (chunk base + sublane): the scene is stored
+    # pre-permuted in BVH leaf order (scene/build.py), so no id matmul —
+    # and the four decision planes ride ONE stacked [4*sub, 10] @ [10, 128]
+    # MXU op per sweep (four separate [sub, 10] dots are latency-bound).
+    iota = jax.lax.broadcasted_iota(jnp.int32, (sub, 128), 0).astype(jnp.float32)
+
     for s in range(tri_chunk // sub):
-        rows = pl.ds(s * sub, sub)
-        cd = c_ref[0, rows, :]  # [sub, 10]
-        cb = c_ref[1, rows, :]
-        cy = c_ref[2, rows, :]
-        ct = c_ref[3, rows, :]
-        ci = c_ref[4, rows, :]
+        cst = c_ref[s]  # [4*sub, 10] stacked planes
+        ids = c * tri_chunk + s * sub + iota
 
         for r in range(RAY_BLOCK // 128):
-            def _sweep(cd=cd, cb=cb, cy=cy, ct=ct, ci=ci, r=r):
-                f = f_ref[:, r * 128:(r + 1) * 128]  # [10, 128]
-                det = dot(cd, f)  # [sub, 128]
-                bx = dot(cb, f)
-                by = dot(cy, f)
-                td = dot(ct, f)
-                ids = dot(ci, f)  # permuted prim id (f32 exact to 2^24)
+            def _sweep(cst=cst, ids=ids, r=r):
+                f = f_ref[:, r * 128:(r + 1) * 128]  # [30, 128] bf16
+                q = dot(cst, f)  # ONE bf16 [4*sub, 30] @ [30, 128] MXU op
+                det = q[0 * sub:1 * sub, :]
+                bx = q[1 * sub:2 * sub, :]
+                by = q[2 * sub:3 * sub, :]
+                td = q[3 * sub:4 * sub, :]
 
                 sd = det * det
                 v = jnp.minimum(bx * det, by * det)
@@ -312,11 +364,12 @@ def _plucker_kernel(
 
 def _plucker_occl_kernel(
     mask_ref,  # SMEM i32 [1, ROWS, n_chunks]
-    c_ref,  # [4, tri_chunk, 10] VMEM coefficient rows (det/bx/by/tdet)
-    f_ref,  # [11, RAY_BLOCK] VMEM ray features; row 10 = segment tmax
+    c_ref,  # [subs_per_chunk, 4*sub, 30] VMEM stacked bf16 planes
+    f_ref,  # [30, RAY_BLOCK] VMEM bf16 ray features
+    tm_ref,  # [1, RAY_BLOCK] VMEM f32 segment tmax
     occ_ref,  # output [RAY_BLOCK//128, 128] i32 (0/1)
     occ_s,  # VMEM scratch [n_pad//128, 128] i32, persists across grid
-    *, tri_chunk: int, n_chunks: int, sub: int, use_mask: bool,
+    *, tri_chunk: int, n_chunks: int, sub: int, use_mask: bool, bf16x3: bool,
 ):
     """ANY-HIT twin of :func:`_plucker_kernel` for shadow segments.
 
@@ -336,32 +389,29 @@ def _plucker_occl_kernel(
 
     dot = lambda a, b: jax.lax.dot_general(  # noqa: E731
         a, b, (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=None if bf16x3 else jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     )
 
     for s in range(tri_chunk // sub):
-        rows = pl.ds(s * sub, sub)
-        cd = c_ref[0, rows, :]  # [sub, 10]
-        cb = c_ref[1, rows, :]
-        cy = c_ref[2, rows, :]
-        ct = c_ref[3, rows, :]
+        cst = c_ref[s]  # [4*sub, 30] stacked bf16 planes
 
         for r in range(RAY_BLOCK // 128):
-            def _sweep(cd=cd, cb=cb, cy=cy, ct=ct, r=r):
+            def _sweep(cst=cst, r=r):
                 row = pl.ds(base + r, 1)
-                f = f_ref[0:10, r * 128:(r + 1) * 128]  # [10, 128]
-                det = dot(cd, f)  # [sub, 128]
-                bx = dot(cb, f)
-                by = dot(cy, f)
-                td = dot(ct, f)
+                f = f_ref[:, r * 128:(r + 1) * 128]  # [30, 128] bf16
+                q = dot(cst, f)  # ONE bf16 [4*sub, 30] @ [30, 128] MXU op
+                det = q[0 * sub:1 * sub, :]
+                bx = q[1 * sub:2 * sub, :]
+                by = q[2 * sub:3 * sub, :]
+                td = q[3 * sub:4 * sub, :]
 
                 sd = det * det
                 v = jnp.minimum(bx * det, by * det)
                 v = jnp.minimum(v, sd - (bx + by) * det)
                 v = jnp.minimum(v, sd - PLUCKER_EPS2)
                 tdd = td * det
-                tm = f_ref[10:11, r * 128:(r + 1) * 128]  # [1, 128]
+                tm = tm_ref[:, r * 128:(r + 1) * 128]  # [1, 128] f32
                 hit = (v >= 0.0) & (tdd > 0.0) & (tdd < tm * sd)
                 any_hit = jnp.max(hit.astype(jnp.int32), axis=0, keepdims=True)
                 occ_s[row, :] = occ_s[row, :] | any_hit
@@ -431,11 +481,11 @@ def _cluster_mask_bits(cluster_bounds, ray_o, ray_d, tmax, n_blocks, n_chunks,
     return packed.reshape(n_blocks, RAY_BLOCK // 128, n_chunks)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "bf16x3"))
 def intersect_plucker_pallas(
     tri_packed, ray_o, ray_d,
     tri_order=None, cluster_bounds=None, tmax=None,
-    interpret: bool = False,
+    interpret: bool = False, bf16x3: bool | None = None,
 ):
     """Closest hit over all triangles via the MXU Plücker formulation.
 
@@ -461,12 +511,14 @@ def intersect_plucker_pallas(
                 tri_packed, ray_o[lo:hi], ray_d[lo:hi],
                 tri_order=tri_order, cluster_bounds=cluster_bounds,
                 tmax=None if tmax is None else tmax[lo:hi],
-                interpret=interpret,
+                interpret=interpret, bf16x3=bf16x3,
             )
             prims.append(p)
             dists.append(t)
         return jnp.concatenate(prims), jnp.concatenate(dists)
     num_tris = tri_packed.shape[0]
+    if bf16x3 is None:
+        bf16x3 = num_tris <= PLUCKER_BF16X3_MAX_TRIS
     n_pad = -(-n // RAY_BLOCK) * RAY_BLOCK
     if num_tris > CLUSTER_SUB:
         sub = CLUSTER_SUB
@@ -481,15 +533,17 @@ def intersect_plucker_pallas(
 
     if tri_order is not None:
         tri_packed = tri_packed[tri_order]
-        prim_ids = tri_order
-    else:
-        prim_ids = jnp.arange(num_tris, dtype=jnp.int32)
 
     v0 = tri_packed[:, 0:3]
     center = jax.lax.stop_gradient(0.5 * (v0.min(axis=0) + v0.max(axis=0)))
-    coeffs = _plucker_coeffs(tri_packed, center, prim_ids)
+    # kernel ids are positional (chunk base + sublane) — the id coefficient
+    # row is not needed; tri_order (if any) is remapped after the kernel
+    coeffs = _plucker_coeffs(
+        tri_packed, center, jnp.arange(num_tris, dtype=jnp.int32)
+    )[0:4]
     # padding rows are all-zero -> det==0 -> never valid
     coeffs = jnp.pad(coeffs, ((0, 0), (0, t_pad - num_tris), (0, 0)))
+    coeffs = _stack4(coeffs, sub, bf16x3)  # [t_pad//sub, 4*sub, 10|30]
 
     use_mask = cluster_bounds is not None
     if use_mask:
@@ -506,18 +560,20 @@ def intersect_plucker_pallas(
         [ray_d, m, o, jnp.ones_like(o[:, :1])], axis=1
     )  # [N, 10]
     feats = jnp.pad(feats, ((0, n_pad - n), (0, 0)), constant_values=1.0)
-    feats = feats.T  # [10, N_pad]
+    feats = _split_feats(feats.T, bf16x3)  # [10|30, N_pad]
 
     grid = (n_chunks, n_blocks)  # chunk outer, ray block inner (see kernel)
     mask_spec = pl.BlockSpec(
         (1,) + mask.shape[1:], lambda c, i: (i, 0, 0),
         memory_space=pltpu.SMEM,
     )
+    kdim = 30 if bf16x3 else 10
     c_spec = pl.BlockSpec(
-        (5, tri_chunk, 10), lambda c, i: (0, c, 0), memory_space=pltpu.VMEM
+        (tri_chunk // sub, 4 * sub, kdim), lambda c, i: (c, 0, 0),
+        memory_space=pltpu.VMEM
     )
     f_spec = pl.BlockSpec(
-        (10, RAY_BLOCK), lambda c, i: (0, i), memory_space=pltpu.VMEM
+        (kdim, RAY_BLOCK), lambda c, i: (0, i), memory_space=pltpu.VMEM
     )
     out_spec = pl.BlockSpec(
         (RAY_BLOCK // 128, 128), lambda c, i: (i, 0), memory_space=pltpu.VMEM
@@ -526,7 +582,7 @@ def intersect_plucker_pallas(
     prim, dist = pl.pallas_call(
         functools.partial(
             _plucker_kernel, tri_chunk=tri_chunk, n_chunks=n_chunks,
-            sub=sub, use_mask=use_mask,
+            sub=sub, use_mask=use_mask, bf16x3=bf16x3,
         ),
         grid=grid,
         in_specs=[mask_spec, c_spec, f_spec],
@@ -545,13 +601,19 @@ def intersect_plucker_pallas(
     prim = prim.reshape(-1)[:n]
     dist = dist.reshape(-1)[:n]
     prim = jnp.where(dist < FLT_MAX, prim, NULL_PRIMITIVE)
+    if tri_order is not None:
+        # kernel ids are positions into the permuted table
+        prim = jnp.where(
+            prim >= 0, tri_order[jnp.maximum(prim, 0)], NULL_PRIMITIVE
+        )
     return prim, dist
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "bf16x3"))
 def occlusion_plucker_pallas(tri_packed, x, y,
                              tri_order=None, cluster_bounds=None,
-                             interpret: bool = False):
+                             interpret: bool = False,
+                             bf16x3: bool | None = None):
     """Shadow query via the dedicated ANY-HIT MXU kernel (no id matmul,
     no division, no closest-hit reduce, per-row early-out); the segment
     length bounds both the culling prepass and the in-range test."""
@@ -562,7 +624,7 @@ def occlusion_plucker_pallas(tri_packed, x, y,
                 tri_packed, x[lo:lo + MAX_LANES_PER_LAUNCH],
                 y[lo:lo + MAX_LANES_PER_LAUNCH],
                 tri_order=tri_order, cluster_bounds=cluster_bounds,
-                interpret=interpret,
+                interpret=interpret, bf16x3=bf16x3,
             )
             for lo in range(0, x.shape[0], MAX_LANES_PER_LAUNCH)
         ])
@@ -576,6 +638,8 @@ def occlusion_plucker_pallas(tri_packed, x, y,
 
     n = ray_o.shape[0]
     num_tris = tri_packed.shape[0]
+    if bf16x3 is None:
+        bf16x3 = num_tris <= PLUCKER_BF16X3_MAX_TRIS
     n_pad = -(-n // RAY_BLOCK) * RAY_BLOCK
     if num_tris > CLUSTER_SUB:
         sub = CLUSTER_SUB
@@ -598,6 +662,7 @@ def occlusion_plucker_pallas(tri_packed, x, y,
     center = jax.lax.stop_gradient(0.5 * (v0.min(axis=0) + v0.max(axis=0)))
     coeffs = _plucker_coeffs(tri_packed, center, prim_ids)[0:4]
     coeffs = jnp.pad(coeffs, ((0, 0), (0, t_pad - num_tris), (0, 0)))
+    coeffs = _stack4(coeffs, sub, bf16x3)  # [t_pad//sub, 4*sub, 10|30]
 
     use_mask = cluster_bounds is not None
     if use_mask:
@@ -611,27 +676,31 @@ def occlusion_plucker_pallas(tri_packed, x, y,
     o = ray_o - center
     m = jnp.cross(o, ray_d)
     feats = jnp.concatenate(
-        [ray_d, m, o, jnp.ones_like(o[:, :1]), max_dist[:, None]], axis=1
-    )  # [N, 11]
+        [ray_d, m, o, jnp.ones_like(o[:, :1])], axis=1
+    )  # [N, 10]
     # padding rays: zero geometry features -> every dot is 0, so the
-    # |det|>=eps plane already fails (v = -eps^2 < 0); the tmax row gets a
-    # negative sentinel as belt-and-braces.  Zeros keep every product finite
-    # (no inf/NaN riding on IEEE compare semantics).
+    # |det|>=eps plane already fails (v = -eps^2 < 0); the separate f32
+    # tmax row gets a negative sentinel as belt-and-braces.
     feats = jnp.pad(feats, ((0, n_pad - n), (0, 0)))
-    if n_pad > n:
-        feats = feats.at[n:, 10].set(-FLT_MAX)
-    feats = feats.T  # [11, N_pad]
+    feats = _split_feats(feats.T, bf16x3)  # [10|30, N_pad]
+    tmrow = jnp.pad(max_dist, (0, n_pad - n), constant_values=-FLT_MAX)
+    tmrow = tmrow[None, :]  # [1, N_pad] f32
 
     grid = (n_chunks, n_blocks)
     mask_spec = pl.BlockSpec(
         (1,) + mask.shape[1:], lambda c, i: (i, 0, 0),
         memory_space=pltpu.SMEM,
     )
+    kdim = 30 if bf16x3 else 10
     c_spec = pl.BlockSpec(
-        (4, tri_chunk, 10), lambda c, i: (0, c, 0), memory_space=pltpu.VMEM
+        (tri_chunk // sub, 4 * sub, kdim), lambda c, i: (c, 0, 0),
+        memory_space=pltpu.VMEM
     )
     f_spec = pl.BlockSpec(
-        (11, RAY_BLOCK), lambda c, i: (0, i), memory_space=pltpu.VMEM
+        (kdim, RAY_BLOCK), lambda c, i: (0, i), memory_space=pltpu.VMEM
+    )
+    tm_spec = pl.BlockSpec(
+        (1, RAY_BLOCK), lambda c, i: (0, i), memory_space=pltpu.VMEM
     )
     out_spec = pl.BlockSpec(
         (RAY_BLOCK // 128, 128), lambda c, i: (i, 0), memory_space=pltpu.VMEM
@@ -640,18 +709,28 @@ def occlusion_plucker_pallas(tri_packed, x, y,
     occ = pl.pallas_call(
         functools.partial(
             _plucker_occl_kernel, tri_chunk=tri_chunk, n_chunks=n_chunks,
-            sub=sub, use_mask=use_mask,
+            sub=sub, use_mask=use_mask, bf16x3=bf16x3,
         ),
         grid=grid,
-        in_specs=[mask_spec, c_spec, f_spec],
+        in_specs=[mask_spec, c_spec, f_spec, tm_spec],
         out_specs=[out_spec],
         out_shape=[jax.ShapeDtypeStruct(row_shape, jnp.int32)],
         scratch_shapes=[pltpu.VMEM(row_shape, jnp.int32)],
         interpret=interpret,
-    )(mask, coeffs, feats)[0]
+    )(mask, coeffs, feats, tmrow)[0]
 
     return occ.reshape(-1)[:n] != 0
 
+
+# NOTE (round 2, measured): a VMEM-resident variant with a per-block
+# near-to-far cluster schedule and per-row scalar early-outs (skip clusters
+# once rowmax(best_t) < next entry / once a row is fully occluded) was built
+# and benched at teapot scale: the per-sweep vector->scalar reduce feeding
+# the next iteration's branch costs ~6-9 ms per 640k-lane sweep — more than
+# the skipped work saves — and a lag-2 rotating-slot scheme did not help
+# (the reduce itself stalls the scalar unit, not the dependency).  In-kernel
+# dynamic early-out is a dead end on this hardware; the win came from
+# M-stacking the decision planes into one MXU op instead (see above).
 
 # ---------------------------------------------------------------------------
 # Quadratic-feature MXU intersector (round-2 redesign of the Plücker kernel)

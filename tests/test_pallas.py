@@ -42,16 +42,18 @@ def test_pallas_brute_matches_xla(scene_rays):
 
 
 def test_plucker_matches_xla(scene_rays):
-    """The MXU Plücker formulation is algebraically identical to MT; with
-    f32 rounding only edge-grazing rays may disagree, so require exact prim
-    parity here (random rays — no edge hits) and tight distances."""
+    """The MXU Plücker formulation is algebraically identical to MT; require
+    exact prim parity (random rays — no edge hits).  Distances are SELECTOR
+    grade: the bf16x3 planes carry ~2^-17 noise relative to the largest dot
+    term, which cancellation amplifies to ~1e-3 on t — renderers recompute
+    exact t from the winner id (surface_info_from_t), never consume this."""
     tri_packed, ray_o, ray_d = scene_rays
     p0, d0, _ = trv.intersect_brute(tri_packed, ray_o, ray_d)
     p1, d1 = intersect_plucker_pallas(tri_packed, ray_o, ray_d, interpret=True)
     np.testing.assert_array_equal(np.asarray(p1), np.asarray(p0))
     hits = np.asarray(p0) >= 0
     np.testing.assert_allclose(
-        np.asarray(d1)[hits], np.asarray(d0)[hits], rtol=1e-4
+        np.asarray(d1)[hits], np.asarray(d0)[hits], rtol=5e-3
     )
 
 
@@ -80,7 +82,7 @@ def test_plucker_culled_matches_uncached(scene_rays):
     np.testing.assert_array_equal(np.asarray(p1), np.asarray(p0))
     hits = np.asarray(p0) >= 0
     np.testing.assert_allclose(
-        np.asarray(d1)[hits], np.asarray(d0)[hits], rtol=1e-5
+        np.asarray(d1)[hits], np.asarray(d0)[hits], rtol=5e-3
     )
 
 
@@ -190,6 +192,69 @@ def test_plucker_occlusion_matches_xla(scene_rays):
     y = jnp.asarray(rng.uniform(-4, 4, size=(64, 3)).astype(np.float32))
     o0 = trv.occlusion_brute(tri_packed, x, y)
     o1 = occlusion_plucker_pallas(tri_packed, x, y, interpret=True)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o0))
+
+
+def _make_cluster_bounds(tri_packed):
+    tp = np.asarray(tri_packed)
+    v = np.stack(
+        [tp[:, 0:3], tp[:, 0:3] + tp[:, 3:6], tp[:, 0:3] + tp[:, 6:9]], axis=1
+    )
+    n_clusters = -(-tp.shape[0] // 64)
+    cb = np.empty((n_clusters, 6), np.float32)
+    for ci in range(n_clusters):
+        g = v[ci * 64:(ci + 1) * 64].reshape(-1, 3)
+        cb[ci, 0:3] = g.min(axis=0)
+        cb[ci, 3:6] = g.max(axis=0)
+    return jnp.asarray(cb)
+
+
+def test_plucker_culled_noorder_matches(scene_rays):
+    """The production shape (cluster_bounds given, tri_order None, positional
+    winner ids) must agree with brute force."""
+    tri_packed, ray_o, ray_d = scene_rays
+    cb = _make_cluster_bounds(tri_packed)
+    p0, d0, _ = trv.intersect_brute(tri_packed, ray_o, ray_d)
+    p1, d1 = intersect_plucker_pallas(
+        tri_packed, ray_o, ray_d, cluster_bounds=cb, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p0))
+    hits = np.asarray(p0) >= 0
+    np.testing.assert_allclose(
+        np.asarray(d1)[hits], np.asarray(d0)[hits], rtol=5e-3
+    )
+
+
+def test_plucker_dead_lanes(scene_rays):
+    """tmax = -inf lanes (dead wavefront lanes) flag no clusters; LIVE lanes
+    sharing their rows must still get exact results.  (Dead-lane outputs are
+    garbage by contract — device_scene.intersect masks them to -1.)"""
+    tri_packed, ray_o, ray_d = scene_rays
+    cb = _make_cluster_bounds(tri_packed)
+    n = ray_o.shape[0]
+    active = np.zeros(n, bool)
+    active[::2] = True
+    from radish_pt_tpu.accel.pallas_kernels import FLT_MAX
+    tmax = jnp.where(jnp.asarray(active), FLT_MAX, -FLT_MAX)
+    p0, d0, _ = trv.intersect_brute(tri_packed, ray_o, ray_d)
+    p1, _ = intersect_plucker_pallas(
+        tri_packed, ray_o, ray_d, cluster_bounds=cb, tmax=tmax, interpret=True
+    )
+    np.testing.assert_array_equal(
+        np.asarray(p1)[active], np.asarray(p0)[active]
+    )
+
+
+def test_plucker_culled_noorder_occlusion_matches(scene_rays):
+    tri_packed, ray_o, ray_d = scene_rays
+    cb = _make_cluster_bounds(tri_packed)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(-4, 4, size=(64, 3)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(-4, 4, size=(64, 3)).astype(np.float32))
+    o0 = trv.occlusion_brute(tri_packed, x, y)
+    o1 = occlusion_plucker_pallas(
+        tri_packed, x, y, cluster_bounds=cb, interpret=True
+    )
     np.testing.assert_array_equal(np.asarray(o1), np.asarray(o0))
 
 

@@ -1,7 +1,7 @@
 #!/usr/bin/env python
-"""Head-to-head slope benchmark of the intersection kernels on one scene.
+"""A/B the linear Plücker kernels: bf16x3 K-stacked vs f32 HIGHEST dots.
 
-Usage: python -u tools/bench_kernels.py [scene.txt]
+Usage: python -u tools/ab_bf16.py [scene.txt]
 """
 
 from __future__ import annotations
@@ -45,19 +45,19 @@ def _run(f, *args, n_warm=2, n_iter=4):
     return (time.perf_counter() - t0) / n_iter * 1e3
 
 
-def slope(name, stage, seed_val, *static):
+def slope(name, stage, seed_val):
     def rep(k):
-        def f(x, *s):
+        def f(x):
             def body(i, c):
-                out = stage(c, *s)
+                out = stage(c)
                 return c + out * 1e-30
             return jax.lax.fori_loop(0, k, body, x)
         return jax.jit(f)
 
-    t1 = _run(rep(1), seed_val, *static)
-    thi = _run(rep(KHI), seed_val, *static)
+    t1 = _run(rep(1), seed_val)
+    thi = _run(rep(KHI), seed_val)
     ms = (thi - t1) / (KHI - 1)
-    print(f"  {name:44s} {ms:9.2f} ms   (k1={t1:.1f} k{KHI}={thi:.1f})")
+    print(f"  {name:52s} {ms:9.2f} ms   (k1={t1:.1f} k{KHI}={thi:.1f})")
     return ms
 
 
@@ -76,53 +76,36 @@ def main():
     key = jax.random.PRNGKey(0)
     sec_d = jax.random.normal(key, (n, 3))
     sec_d = sec_d / jnp.linalg.norm(sec_d, axis=-1, keepdims=True)
-    # pre-sorted divergent rays (what the sweep actually sees in a frame)
     skey = np.asarray(dsc._sort_key(ds, pos, sec_d)) if (
         ds.cluster_bounds is not None) else np.zeros(n)
     perm = np.argsort(skey)
     o_s = jnp.asarray(np.asarray(pos)[perm])
     d_s = jnp.asarray(np.asarray(sec_d)[perm])
-
     cb = ds.cluster_bounds
-
-    def quad_coh(c):
-        return pk.intersect_quad_pallas(
-            ds.tri_packed, ray_o + c[:, None], ray_d, cluster_bounds=cb)[1]
-
-    def quad_div(c):
-        return pk.intersect_quad_pallas(
-            ds.tri_packed, o_s + c[:, None], d_s, cluster_bounds=cb)[1]
-
-    def lin_coh(c):
-        return pk.intersect_plucker_pallas(
-            ds.tri_packed, ray_o + c[:, None], ray_d, cluster_bounds=cb)[1]
-
-    def lin_div(c):
-        return pk.intersect_plucker_pallas(
-            ds.tri_packed, o_s + c[:, None], d_s, cluster_bounds=cb)[1]
-
-    y_coh = pos + ray_d * 0.5
     y_div = o_s + d_s * 2.0
-
-    def quad_occ(c):
-        return pk.occlusion_quad_pallas(
-            ds.tri_packed, o_s + c[:, None], y_div,
-            cluster_bounds=cb).astype(jnp.float32)
-
-    def lin_occ(c):
-        return pk.occlusion_plucker_pallas(
-            ds.tri_packed, o_s + c[:, None], y_div,
-            cluster_bounds=cb).astype(jnp.float32)
-
     z = jnp.zeros(n)
-    slope("quad closest (coherent primaries)", quad_coh, z)
-    slope("linear closest (coherent primaries)", lin_coh, z)
-    slope("quad closest (sorted divergent)", quad_div, z)
-    slope("linear closest (sorted divergent)", lin_div, z)
-    slope("quad occlusion (sorted divergent)", quad_occ, z)
-    slope("linear occlusion (sorted divergent)", lin_occ, z)
 
+    for flag in (False, True):
+        tag = "bf16x3" if flag else "f32-HI"
 
+        def lin_coh(c, flag=flag):
+            return pk.intersect_plucker_pallas(
+                ds.tri_packed, ray_o + c[:, None], ray_d, cluster_bounds=cb,
+                bf16x3=flag)[1]
+
+        def lin_div(c, flag=flag):
+            return pk.intersect_plucker_pallas(
+                ds.tri_packed, o_s + c[:, None], d_s, cluster_bounds=cb,
+                bf16x3=flag)[1]
+
+        def lin_occ(c, flag=flag):
+            return pk.occlusion_plucker_pallas(
+                ds.tri_packed, o_s + c[:, None], y_div,
+                cluster_bounds=cb, bf16x3=flag).astype(jnp.float32)
+
+        slope(f"[{tag}] closest (coherent primaries)", lin_coh, z)
+        slope(f"[{tag}] closest (sorted divergent)", lin_div, z)
+        slope(f"[{tag}] occlusion (sorted divergent)", lin_occ, z)
 
 
 if __name__ == "__main__":
