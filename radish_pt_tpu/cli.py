@@ -33,6 +33,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
         default="none",
     )
     p.add_argument(
+        "--no-denoiser-split",
+        action="store_true",
+        help="filter the combined image instead of denoising direct and "
+        "indirect illumination separately (DENOISER_SPLIT_DIRECT_INDIRECT)",
+    )
+    p.add_argument(
         "--reuse",
         choices=["none", "temporal", "spatial", "both"],
         default="both",
@@ -126,6 +132,7 @@ def main(argv=None) -> int:
     }[args.tonemap]
     s.animate_camera = args.animate_camera
     s.gbuffer_view = args.gbuffer_view
+    s.denoiser_split = not args.no_denoiser_split
     if args.depth is not None:
         s.trace_depth = args.depth
     if args.resume:

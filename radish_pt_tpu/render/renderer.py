@@ -196,6 +196,7 @@ class Renderer:
             self.gbuf = self._gbuffer_fn()(self.ds, self.cam, self.last_cam)
             self._sync_if_timing(self.gbuf)
 
+        denoised = False
         if s.tracer == Tracer.RESTIR_DI or s.use_reservoir:
             fn = self._restir_fn(s.reservoir_reuse, s.reservoir_size, s.temporal_clamp)
             with self.timer.time("restir"):
@@ -218,7 +219,11 @@ class Renderer:
                     self.direct, self.indirect, st.iteration,
                 )
                 self._sync_if_timing(self.direct)
-            image = post.add_image(self.direct, self.indirect)
+            # keep direct/indirect separate through the denoiser: the
+            # reference filters each with its own SpatioTemporalFilter
+            # (main.cpp:95-97, DENOISER_SPLIT_DIRECT_INDIRECT common.h:10)
+            image = self._apply_denoiser(self.direct, self.indirect)
+            denoised = True
         else:  # direct-only tracer (the reference demo loop default)
             fn = self._pt_direct_fn()
             with self.timer.time("pt_direct"):
@@ -228,7 +233,8 @@ class Renderer:
                 self._sync_if_timing(self.direct)
             image = self.direct
 
-        image = self._apply_denoiser(image)
+        if not denoised:
+            image = self._apply_denoiser(image)
         self._last_image = image
 
         with self.timer.time("display"):
@@ -244,10 +250,51 @@ class Renderer:
         self.first_frame = False
         return np.asarray(disp)
 
-    def _apply_denoiser(self, image):
+    def _apply_denoiser(self, image, indirect=None):
+        """Denoise ``image`` (or the split (direct, indirect) pair when
+        ``indirect`` is given and split-SVGF is enabled).
+
+        Split pipeline (reference main.cpp:95-97 + denoiser.cu:436-448,
+        ``DENOISER_SPLIT_DIRECT_INDIRECT`` common.h:10): direct and indirect
+        illumination are filtered by two independent SVGF instances — each
+        with its own temporal history/variance — and recombined after, so
+        sharp direct shadows don't bleed into (or get blurred by) the much
+        noisier indirect estimate.  Both filters run inside ONE jit.
+        """
         s = self.settings
         if s.denoiser == Denoiser.NONE or self.gbuf is None:
-            return image
+            return image if indirect is None else post.add_image(image, indirect)
+        if (
+            indirect is not None
+            and s.denoiser == Denoiser.SVGF
+            and s.denoiser_split
+        ):
+            def run_split(direct, indirect, sd, si, gbuf, gbuf_last, cam, first):
+                out_d, sd = dn.svgf_filter(
+                    direct, sd, gbuf, gbuf_last, cam, first,
+                    levels=s.svgf_levels,
+                )
+                out_i, si = dn.svgf_filter(
+                    indirect, si, gbuf, gbuf_last, cam, first,
+                    levels=s.svgf_levels,
+                )
+                return post.add_image(out_d, out_i), sd, si
+
+            fn = self._get(
+                ("svgf_split", s.svgf_levels),
+                lambda: jax.jit(run_split),
+            )
+            with self.timer.time("denoise"):
+                out, self.svgf_direct, self.svgf_indirect = fn(
+                    image, indirect, self.svgf_direct, self.svgf_indirect,
+                    self.gbuf, self.gbuf_last, self.cam,
+                    jnp.asarray(self.first_frame),
+                )
+            if s.modulate:
+                out = post.modulate_albedo(out, self.gbuf.albedo)
+            return out
+        if indirect is not None:
+            image = post.add_image(image, indirect)
         if s.denoiser == Denoiser.GAUSSIAN:
             fn = self._get(
                 "gaussian",
@@ -371,8 +418,11 @@ class Renderer:
 
     def current_image(self):
         s = self.settings
-        if s.tracer in (Tracer.BVH_VISUALIZE, Tracer.GBUFFER_PREVIEW):
-            # debug tracers aren't accumulated; show the latest frame
+        if s.tracer in (Tracer.BVH_VISUALIZE, Tracer.GBUFFER_PREVIEW) or (
+            s.denoiser != Denoiser.NONE
+        ):
+            # debug tracers aren't accumulated and denoised output lives
+            # only in the display path; show the latest frame for both
             img = getattr(self, "_last_image", None)
             if img is not None:
                 return img
