@@ -33,6 +33,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
         default="none",
     )
     p.add_argument(
+        "--encode-normal",
+        action="store_true",
+        help="store G-buffer normals hemi-oct encoded as 2 floats "
+        "(DENOISER_ENCODE_NORMAL, gBuffer.h:7-13)",
+    )
+    p.add_argument(
         "--no-denoiser-split",
         action="store_true",
         help="filter the combined image instead of denoising direct and "
@@ -133,6 +139,7 @@ def main(argv=None) -> int:
     s.animate_camera = args.animate_camera
     s.gbuffer_view = args.gbuffer_view
     s.denoiser_split = not args.no_denoiser_split
+    s.encode_normal = args.encode_normal
     if args.depth is not None:
         s.trace_depth = args.depth
     if args.resume:

@@ -69,6 +69,7 @@ class Settings:
     # denoiser detail
     denoiser_demodulate: bool = True  # DENOISER_DEMODULATE
     denoiser_split: bool = True  # DENOISER_SPLIT_DIRECT_INDIRECT (common.h:10)
+    encode_normal: bool = False  # DENOISER_ENCODE_NORMAL (common.h:15)
     svgf_levels: int = 5
 
     # debug

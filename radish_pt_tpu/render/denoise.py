@@ -24,7 +24,8 @@ import jax.numpy as jnp
 
 from ..scene import camera as cam_mod
 from ..utils import math as m
-from .gbuffer import NULL_PRIMITIVE, GBufferFrame, GBufferOut, camera_get_position
+from .gbuffer import (NULL_PRIMITIVE, GBufferFrame, GBufferOut,
+                      camera_get_position, decoded_normal)
 
 GAUSSIAN_3X3 = np.array(
     [[0.075, 0.124, 0.075], [0.124, 0.204, 0.124], [0.075, 0.124, 0.075]],
@@ -134,7 +135,7 @@ def leveled_eaw_filter(
     idx = jnp.arange(h * w, dtype=jnp.int32)
     pos = _planar(camera_get_position(cam, idx % w, idx // w, frame.depth), h, w)
     color = _planar(color_flat, h, w)
-    normal = _planar(frame.normal, h, w)
+    normal = _planar(decoded_normal(frame), h, w)
     prim = frame.prim_id.reshape(h, w)
     for level in range(levels):
         color = eaw_level(
@@ -197,7 +198,7 @@ def temporal_accumulate(
         [
             state.accum_color,
             state.accum_moment,
-            last_frame.normal,
+            decoded_normal(last_frame),
             last_frame.prim_id.astype(jnp.float32)[:, None],
         ],
         axis=1,
@@ -209,7 +210,7 @@ def temporal_accumulate(
     diff = diff | (gbuf.motion < 0)
     diff |= cur.prim_id <= NULL_PRIMITIVE
     diff |= packed[:, 9].astype(jnp.int32) != cur.prim_id
-    diff |= m.abs_dot(cur.normal, packed[:, 6:9]) < 0.1
+    diff |= m.abs_dot(decoded_normal(cur), packed[:, 6:9]) < 0.1
 
     lum = m.luminance(color_in)
 
@@ -342,7 +343,7 @@ def svgf_filter(
     frame = gbuf.frame
     idx = jnp.arange(h * w, dtype=jnp.int32)
     pos = _planar(camera_get_position(cam, idx % w, idx // w, frame.depth), h, w)
-    normal = _planar(frame.normal, h, w)
+    normal = _planar(decoded_normal(frame), h, w)
     prim = frame.prim_id.reshape(h, w)
 
     color = _planar(color_accum, h, w)

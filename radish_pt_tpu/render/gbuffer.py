@@ -27,9 +27,14 @@ LIGHT_ID = NULL_PRIMITIVE - 1  # lights in the id channel (gBuffer.cu:36)
 
 @struct.dataclass
 class GBufferFrame:
-    """One frame's geometry attributes (the double-buffered half)."""
+    """One frame's geometry attributes (the double-buffered half).
 
-    normal: jnp.ndarray  # f32 [N, 3]
+    ``normal`` is either raw f32 [N, 3] or hemi-octahedral-encoded f32
+    [N, 2] (``DENOISER_ENCODE_NORMAL``, gBuffer.h:7-13 / common.h:15) —
+    consumers read through :func:`decoded_normal`, which dispatches on the
+    static trailing dim."""
+
+    normal: jnp.ndarray  # f32 [N, 3] raw or [N, 2] hemi-oct encoded
     prim_id: jnp.ndarray  # i32 [N] — material id, lights remapped
     depth: jnp.ndarray  # f32 [N] — DENOISER_ENCODE_POSITION layout
 
@@ -41,12 +46,20 @@ class GBufferOut:
     motion: jnp.ndarray  # i32 [N] — flat pixel index into last frame, -1 invalid
 
 
-def empty_frame(n: int) -> GBufferFrame:
+def empty_frame(n: int, encode_normal: bool = False) -> GBufferFrame:
     return GBufferFrame(
-        normal=jnp.zeros((n, 3), jnp.float32),
+        normal=jnp.zeros((n, 2 if encode_normal else 3), jnp.float32),
         prim_id=jnp.full((n,), NULL_PRIMITIVE, jnp.int32),
         depth=jnp.ones((n,), jnp.float32),
     )
+
+
+def decoded_normal(frame: GBufferFrame) -> jnp.ndarray:
+    """[N, 3] world normals regardless of the frame's storage encoding (the
+    trailing dim is static, so this branch resolves at trace time)."""
+    if frame.normal.shape[-1] == 2:
+        return m.decode_normal_hemioct(frame.normal)
+    return frame.normal
 
 
 def camera_get_position(cam: cam_mod.Camera, x, y, dist):
@@ -57,7 +70,10 @@ def camera_get_position(cam: cam_mod.Camera, x, y, dist):
 
 
 def render_gbuffer(
-    ds: dsc.DeviceScene, cam: cam_mod.Camera, last_cam: cam_mod.Camera
+    ds: dsc.DeviceScene,
+    cam: cam_mod.Camera,
+    last_cam: cam_mod.Camera,
+    encode_normal: bool = False,
 ) -> GBufferOut:
     n = cam.width * cam.height
     idx = jnp.arange(n, dtype=jnp.int32)
@@ -78,7 +94,14 @@ def render_gbuffer(
 
     env_albedo = dsc.env_radiance(ds, ray_d)
     albedo = jnp.where(hit[..., None], mat.base_color, env_albedo)
-    normal = jnp.where(hit[..., None], norm, 0.0)
+    if encode_normal:
+        # DENOISER_ENCODE_NORMAL (gBuffer.h:7-13): store 2-component
+        # hemi-oct; miss lanes encode +z (the encoder divides by the L1
+        # norm, so a zero vector would produce NaN)
+        safe = jnp.where(hit[..., None], norm, jnp.array([0.0, 0.0, 1.0]))
+        normal = m.encode_normal_hemioct(safe)
+    else:
+        normal = jnp.where(hit[..., None], norm, 0.0)
     prim_id = jnp.where(hit, mat_id, NULL_PRIMITIVE)
     depth = jnp.where(hit, m.length(it.pos - ray_o), 1.0)
 

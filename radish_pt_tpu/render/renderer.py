@@ -79,7 +79,9 @@ class Renderer:
         self.n_pixels = n
         self.direct = jnp.zeros((n, 3), jnp.float32)
         self.indirect = jnp.zeros((n, 3), jnp.float32)
-        self.gbuf_last = gb.empty_frame(n)
+        self.gbuf_last = gb.empty_frame(
+            n, encode_normal=self.settings.encode_normal
+        )
         self.gbuf = None
         self.reservoir = rs.empty_reservoir(n)
         self.svgf_direct = dn.empty_svgf_state(n)
@@ -99,9 +101,10 @@ class Renderer:
         return self._fns[key]
 
     def _gbuffer_fn(self):
+        enc = self.settings.encode_normal
         return self._get(
-            "gbuffer",
-            lambda: jax.jit(gb.render_gbuffer),
+            ("gbuffer", enc),
+            lambda: jax.jit(partial(gb.render_gbuffer, encode_normal=enc)),
         )
 
     def _pt_full_fn(self, max_depth):
@@ -339,7 +342,7 @@ class Renderer:
         view = getattr(self.settings, "gbuffer_view", "albedo")
         g = self.gbuf
         if view == "normal":
-            return g.frame.normal * 0.5 + 0.5
+            return gb.decoded_normal(g.frame) * 0.5 + 0.5
         if view == "depth":
             d = g.frame.depth
             d = d / jnp.maximum(jnp.max(d), 1e-6)

@@ -28,6 +28,7 @@ from ..scene import camera as cam_mod
 from ..scene import device_scene as dsc
 from ..sampling import rng
 from ..utils import math as m
+from . import gbuffer as gb
 from .gbuffer import NULL_PRIMITIVE, GBufferFrame, GBufferOut
 
 
@@ -154,12 +155,12 @@ def find_temporal_neighbor(
     validation (findTemporalNeighbor, restir.cu:20-40) — one packed gather."""
     last_idx = jnp.maximum(motion, 0)
     packed = _pack(
-        reservoir, last.normal, last.prim_id.astype(jnp.float32)
+        reservoir, gb.decoded_normal(last), last.prim_id.astype(jnp.float32)
     )
     row = packed[last_idx]
     ok = (motion >= 0) & (cur.prim_id > NULL_PRIMITIVE)
     ok &= row[..., 12].astype(jnp.int32) == cur.prim_id
-    ok &= m.abs_dot(cur.normal, row[..., 9:12]) >= 0.1
+    ok &= m.abs_dot(gb.decoded_normal(cur), row[..., 9:12]) >= 0.1
     return _mask_empty(_unpack(row), ok)
 
 
@@ -184,7 +185,7 @@ def _spatial_neighbor(
     ok = (px >= 0) & (px < width) & (py >= 0) & (py < height)
     ok &= ~((px == x) & (py == y))
     ok &= row[..., 13].astype(jnp.int32) == cur.prim_id
-    ok &= m.dot(row[..., 9:12], cur.normal) >= 0.1
+    ok &= m.dot(row[..., 9:12], gb.decoded_normal(cur)) >= 0.1
     ok &= jnp.abs(row[..., 12] - cur.depth) <= cur.depth * 0.1
     return _mask_empty(_unpack(row), ok)
 
@@ -214,7 +215,8 @@ def merge_spatial(
     x = idx % width
     y = idx // width
     packed = _pack(
-        temp, cur.normal, cur.depth, cur.prim_id.astype(jnp.float32)
+        temp, gb.decoded_normal(cur), cur.depth,
+        cur.prim_id.astype(jnp.float32)
     )
     out = empty_reservoir(n)
     if looper is None:
@@ -240,7 +242,7 @@ def merge_spatial(
         ok = (px >= 0) & (px < width) & (py >= 0) & (py < height)
         ok &= ~((dx == 0) & (dy == 0))
         ok &= row[..., 13].astype(jnp.int32) == cur.prim_id
-        ok &= m.dot(row[..., 9:12], cur.normal) >= 0.1
+        ok &= m.dot(row[..., 9:12], gb.decoded_normal(cur)) >= 0.1
         ok &= jnp.abs(row[..., 12] - cur.depth) <= cur.depth * 0.1
         nb = _mask_empty(_unpack(row), ok)
         r1, sampler = rng.sample_1d(table, sampler)

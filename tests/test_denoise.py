@@ -187,6 +187,43 @@ def test_renderer_split_svgf_wiring(cornell):
     assert float(r.svgf_direct.accum_moment[:, 2].max()) >= 1.0
 
 
+def test_gbuffer_hemioct_normals(cornell):
+    """DENOISER_ENCODE_NORMAL (gBuffer.h:7-13): the [N, 2] hemi-oct G-buffer
+    stores decode back to the raw [N, 3] normals, and SVGF driven by the
+    encoded frame matches the raw-frame output."""
+    import jax
+
+    from radish_pt_tpu.render import gbuffer as gb
+
+    ds, cam, _ = cornell
+    raw = jax.jit(gb.render_gbuffer, static_argnames=("encode_normal",))(
+        ds, cam, cam, encode_normal=False
+    )
+    enc = jax.jit(gb.render_gbuffer, static_argnames=("encode_normal",))(
+        ds, cam, cam, encode_normal=True
+    )
+    assert enc.frame.normal.shape[-1] == 2
+    hit = np.asarray(raw.frame.prim_id) > gb.NULL_PRIMITIVE
+    np.testing.assert_allclose(
+        np.asarray(gb.decoded_normal(enc.frame))[hit],
+        np.asarray(raw.frame.normal)[hit],
+        atol=1e-3,
+    )
+    rng_ = np.random.default_rng(9)
+    noisy = jnp.asarray(
+        np.abs(0.4 + 0.3 * rng_.standard_normal((cam.width * cam.height, 3))
+               ).astype(np.float32))
+    out_raw, _ = dn.svgf_filter(
+        noisy, dn.empty_svgf_state(noisy.shape[0]), raw, raw.frame,
+        cam, first_time=True)
+    out_enc, _ = dn.svgf_filter(
+        noisy, dn.empty_svgf_state(noisy.shape[0]), enc, enc.frame,
+        cam, first_time=True)
+    np.testing.assert_allclose(
+        np.asarray(out_enc), np.asarray(out_raw), atol=1e-3
+    )
+
+
 def test_svgf_filter_runs_and_reduces_noise():
     rng = np.random.default_rng(2)
     noisy = jnp.asarray(0.5 + 0.3 * rng.standard_normal((N, 3)), jnp.float32)
