@@ -60,6 +60,7 @@ def test_bvh_root_bound_contains_all(soup, bvh):
         assert (bvh.bounds_max[root] >= v.max(0) - 1e-5).all()
 
 
+@pytest.mark.slow
 def test_traversal_matches_brute_force(soup, bvh):
     rng = np.random.default_rng(3)
     n = 256
@@ -88,6 +89,7 @@ def test_traversal_matches_brute_force(soup, bvh):
     np.testing.assert_allclose(td[hits], bd[hits], rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_occlusion_matches_brute_force(soup, bvh):
     rng = np.random.default_rng(4)
     n = 128

@@ -25,6 +25,7 @@ def cam16():
     return make_camera(W, H, (0, 0, 0), (-90, 0, 0), fov_y=20.0)
 
 
+@pytest.mark.slow
 def test_eaw_preserves_constant_image():
     color = jnp.broadcast_to(jnp.array([0.3, 0.5, 0.7]), (N, 3))
     out = dn.leveled_eaw_filter(color, flat_frame(), cam16())
@@ -119,6 +120,7 @@ def test_svgf_variance_modes():
     np.testing.assert_allclose(var2, 0.35 - 0.25, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_svgf_split_preserves_constant_energy():
     """Split filtering is energy-preserving on constant inputs: SVGF maps a
     constant image to itself, so filter(d) + filter(i) == d + i."""
@@ -168,6 +170,7 @@ def test_svgf_split_differs_from_combined():
     assert edge_step(split) > edge_step(combined)
 
 
+@pytest.mark.slow
 def test_renderer_split_svgf_wiring(cornell):
     """Renderer.step with the full-PT tracer + SVGF must feed BOTH split
     temporal histories (the round-1 build allocated svgf_indirect and never
@@ -187,6 +190,7 @@ def test_renderer_split_svgf_wiring(cornell):
     assert float(r.svgf_direct.accum_moment[:, 2].max()) >= 1.0
 
 
+@pytest.mark.slow
 def test_gbuffer_hemioct_normals(cornell):
     """DENOISER_ENCODE_NORMAL (gBuffer.h:7-13): the [N, 2] hemi-oct G-buffer
     stores decode back to the raw [N, 3] normals, and SVGF driven by the

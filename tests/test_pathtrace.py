@@ -46,6 +46,7 @@ def test_indirect_color_bleed(traced):
     assert abs(float(left[..., 0].mean() - right[..., 0].mean())) > 1e-4
 
 
+@pytest.mark.slow
 def test_accumulation_reduces_variance(cornell):
     ds, cam, _ = cornell
     f = jax.jit(pt.path_trace, static_argnames=("max_depth",))
@@ -68,6 +69,7 @@ def test_direct_only_no_bleed(cornell):
     assert d.mean() > 0.01
 
 
+@pytest.mark.slow
 def test_furnace_env_constant(cornell):
     """White furnace: constant env map, no lights, white Lambertian box ->
     every pixel converges to the env radiance (energy conservation of the
@@ -114,6 +116,7 @@ def test_furnace_env_constant(cornell):
     assert img.mean() == pytest.approx(0.5, rel=0.04), img.mean()
 
 
+@pytest.mark.slow
 def test_bvh_and_brute_render_identically(cornell):
     """Same cornell frame with use_bvh toggled — the full pipeline oracle."""
     ds, cam, _ = cornell

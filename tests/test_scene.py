@@ -139,6 +139,7 @@ def test_env_scene_build():
     assert ds.light_alias_prob.shape[0] == ds.n_area_lights + 1
 
 
+@pytest.mark.slow
 def test_intersect_sorted_matches_unsorted():
     """Ray sorting + unpermute must be an exact no-op on results."""
     import jax.numpy as jnp

@@ -10,6 +10,8 @@ import jax.numpy as jnp
 from radish_pt_tpu.parallel import sharding as sh
 from radish_pt_tpu.render import pathtrace as pt
 
+pytestmark = pytest.mark.slow  # sharded renders: minutes on the 1-core host
+
 
 @pytest.fixture(scope="module")
 def cpu8():

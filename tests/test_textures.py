@@ -127,6 +127,7 @@ def test_normal_map_flat_and_bump(textured):
     assert local[2] < 0.999  # the bump really tilts
 
 
+@pytest.mark.slow
 def test_textured_golden_render(textured):
     """Low-spp golden render: deterministic Sobol sampling on CPU; guards the
     whole texture pipeline (loader -> atlas -> bilinear -> shading)."""
