@@ -733,6 +733,454 @@ def occlusion_plucker_pallas(tri_packed, x, y,
 # M-stacking the decision planes into one MXU op instead (see above).
 
 # ---------------------------------------------------------------------------
+# Compacted work-list MXU intersector (round 2)
+# ---------------------------------------------------------------------------
+#
+# The chunk-grid kernels above cull at (128-ray row) x (64-tri sub-cluster)
+# granularity but still SCAN every (row, sub) pair: the grid walks all
+# chunks for every ray block and a scalar branch skips unflagged sweeps.
+# Two costs remain: the per-step pipeline bookkeeping of skipped pairs, and
+# the ROW-UNION waste (a row sweeps the union of its 128 rays' clusters —
+# measured 7.4 clusters/row vs a 3.0 clusters/ray floor, BASELINE.md).
+#
+# This variant instead COMPACTS the flagged pairs into an explicit work
+# list on the XLA side (one argsort) and lets the kernel's grid walk the
+# list via scalar-prefetched indices (PrefetchScalarGridSpec): grid step w
+# DMAs exactly coefficient block work_sub[w] and ray-feature row
+# work_row[w], does its single stacked MXU op, and folds the result into
+# the launch-resident hit state (the out blocks use a constant index map,
+# so they stay in VMEM for the whole launch and flush once).  Work beyond
+# the true count repeats item 0 (same block indices -> no DMA; the body is
+# also scalar-skipped).  Duplicated items are harmless by construction:
+# the hit-state update is an idempotent min/or.
+#
+# Scaling: the sweep cost is now O(sum of flags) instead of
+# O(rows x clusters) scans, which is what makes >65k-triangle scenes
+# viable (the scan alone at 100k tris is ~1,563 clusters x 5,000 rows of
+# pipeline steps).  The prepass stays the per-ray slab test for small
+# scenes and switches to a per-row cone test above _PER_RAY_PREPASS_MAX
+# clusters (O(rows x clusters) instead of O(rays x clusters)).
+
+
+COMPACT_MAX_LANES = 640 * 1024  # out blocks resident in VMEM: 8 B/lane
+_PER_RAY_PREPASS_MAX = 256  # clusters; above this use the row-cone prepass
+
+
+def _row_flags(cluster_bounds, ray_o, ray_d, tmax, rows, lanes: int = 128):
+    """Conservative per-(``lanes``-ray group, sub-cluster) visit flags, bool
+    [rows, C].  Per-ray slab test OR-reduced over the group (exact union)
+    for small scenes; for C > _PER_RAY_PREPASS_MAX a group-cone test:
+    interval slab test of the group's origin box + direction box against
+    the cluster AABB — O(rows x C)."""
+    n_pad = rows * lanes
+    o = jnp.pad(ray_o, ((0, n_pad - ray_o.shape[0]), (0, 0)))
+    d = jnp.pad(ray_d, ((0, n_pad - ray_d.shape[0]), (0, 0)),
+                constant_values=1.0)
+    if tmax is None:
+        tm = jnp.full((n_pad,), FLT_MAX)
+    else:
+        tm = jnp.pad(tmax, (0, n_pad - tmax.shape[0]), constant_values=-FLT_MAX)
+    C = cluster_bounds.shape[0]
+    if C <= _PER_RAY_PREPASS_MAX:
+        inv = 1.0 / jnp.where(jnp.abs(d) > 1e-12, d, 1e-12)
+        tn = jnp.full((n_pad, C), -FLT_MAX)
+        tf = jnp.full((n_pad, C), FLT_MAX)
+        for k in range(3):
+            a = (cluster_bounds[None, :, k] - o[:, k, None]) * inv[:, k, None]
+            b = (cluster_bounds[None, :, 3 + k] - o[:, k, None]) * inv[:, k, None]
+            tn = jnp.maximum(tn, jnp.minimum(a, b))
+            tf = jnp.minimum(tf, jnp.maximum(a, b))
+        hit = (tf >= jnp.maximum(tn, 0.0)) & (tn < tm[:, None])
+        return hit.reshape(rows, lanes, C).any(axis=1)
+
+    # row-cone prepass: bound the row's origins and directions by intervals
+    ro = o.reshape(rows, lanes, 3)
+    rd = d.reshape(rows, lanes, 3)
+    rtm = tm.reshape(rows, lanes)
+    live = rtm[..., None] > 0.0  # dead lanes (tmax=-inf) leave the cone
+    big = jnp.where(live, ro, -FLT_MAX)
+    o_max = big.max(axis=1)
+    o_min = jnp.where(live, ro, FLT_MAX).min(axis=1)
+    d_min = jnp.where(live, rd, FLT_MAX).min(axis=1)
+    d_max = jnp.where(live, rd, -FLT_MAX).max(axis=1)
+    any_live = live.any(axis=1)[:, 0]
+    t_hi = jnp.where(rtm > 0.0, rtm, 0.0).max(axis=1)  # row's largest tmax
+
+    # interval slab test: cluster [lo, hi] vs segment x(t) = O + t*D,
+    # t in [0, t_hi], with O and D interval boxes.  Component k reachable
+    # interval: [o_min + t*min(d_min,0)... ] — conservative interval
+    # arithmetic on the reachable set R_k = O_k + [0,t_hi] * D_k.
+    ok = jnp.ones((rows, C), bool)
+    for k in range(3):
+        lo_r = o_min[:, k] + jnp.minimum(d_min[:, k], 0.0) * t_hi
+        hi_r = o_max[:, k] + jnp.maximum(d_max[:, k], 0.0) * t_hi
+        ok &= (cluster_bounds[None, :, 3 + k] >= lo_r[:, None]) & (
+            cluster_bounds[None, :, k] <= hi_r[:, None]
+        )
+    return ok & any_live[:, None]
+
+
+def _work_list(flags, w_max: int):
+    """Compact bool [rows, C] flags into a cluster-major work list.
+
+    Returns (work_row i32[w_max], work_sub i32[w_max], count i32[1]).
+    Entries past ``count`` repeat entry 0 (no-DMA revisits, idempotent)."""
+    rows, C = flags.shape
+    w_max = min(w_max, rows * C)  # a small scene can't fill the budget
+    flat = flags.T.reshape(-1)  # cluster-major: consecutive = same cluster
+    order = jnp.argsort(jnp.logical_not(flat), stable=True)[:w_max]
+    count = jnp.sum(flat.astype(jnp.int32))
+    valid = jnp.arange(w_max, dtype=jnp.int32) < count
+    sub = (order // rows).astype(jnp.int32)
+    row = (order % rows).astype(jnp.int32)
+    sub = jnp.where(valid, sub, sub[0])
+    row = jnp.where(valid, row, row[0])
+    return row, sub, count.reshape(1)
+
+
+def _plucker_compact_kernel(
+    row_ref, sub_ref, count_ref,  # scalar prefetch: i32 [W], [W], [1]
+    c_ref,  # [1, 4*sub, K] VMEM: this step's stacked coefficient planes
+    f_ref,  # [K, group*128] VMEM: this step's ray-row-group features
+    prim_ref, dist_ref,  # [rows, 128] FULL outputs, launch-resident
+    *, sub: int, bf16x3: bool, group: int,
+):
+    w = pl.program_id(0)
+
+    @pl.when(w == 0)
+    def _init():
+        prim_ref[...] = jnp.full_like(prim_ref, NULL_PRIMITIVE)
+        dist_ref[...] = jnp.full_like(dist_ref, FLT_MAX)
+
+    @pl.when(w < count_ref[0])
+    def _work():
+        dot = lambda a, b: jax.lax.dot_general(  # noqa: E731
+            a, b, (((1,), (0,)), ((), ())),
+            precision=None if bf16x3 else jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        # ONE [4*sub, K] @ [K, group*128] MXU op covers the whole row group
+        q = dot(c_ref[0], f_ref[...])
+        det = q[0 * sub:1 * sub, :]
+        bx = q[1 * sub:2 * sub, :]
+        by = q[2 * sub:3 * sub, :]
+        td = q[3 * sub:4 * sub, :]
+
+        sd = det * det
+        v = jnp.minimum(bx * det, by * det)
+        v = jnp.minimum(v, sd - (bx + by) * det)
+        v = jnp.minimum(v, sd - PLUCKER_EPS2)
+        valid = (v >= 0.0) & (td * det > 0.0)
+        t = td / det
+        tval = jnp.where(valid, t, FLT_MAX)
+
+        iota = jax.lax.broadcasted_iota(jnp.int32, (sub, group * 128), 0)
+        ids = (sub_ref[w] * sub + iota).astype(jnp.float32)
+        tmin = jnp.min(tval, axis=0, keepdims=True)  # [1, group*128]
+        idmin = jnp.min(
+            jnp.where(tval == tmin, ids, FLT_MAX), axis=0, keepdims=True
+        )
+        # fold each 128-lane column slice into its output row (static
+        # unroll; a (1, group*128) -> (group, 128) reshape would be a lane
+        # relayout, slices are free)
+        for j in range(group):
+            col = slice(j * 128, (j + 1) * 128)
+            row = pl.ds(row_ref[w] * group + j, 1)
+            tj = tmin[:, col]
+            upd = (tj < dist_ref[row, :]) & (tj < FLT_MAX)
+            dist_ref[row, :] = jnp.where(upd, tj, dist_ref[row, :])
+            prim_ref[row, :] = jnp.where(
+                upd, idmin[:, col].astype(jnp.int32), prim_ref[row, :]
+            )
+
+
+def _plucker_compact_occl_kernel(
+    row_ref, sub_ref, count_ref,  # scalar prefetch
+    c_ref,  # [1, 4*sub, K]
+    f_ref,  # [K, group*128]
+    tm_ref,  # [1, group*128] f32 segment tmax for this row group
+    occ_ref,  # [rows, 128] i32 FULL output, launch-resident
+    *, sub: int, bf16x3: bool, group: int,
+):
+    w = pl.program_id(0)
+
+    @pl.when(w == 0)
+    def _init():
+        occ_ref[...] = jnp.zeros_like(occ_ref)
+
+    @pl.when(w < count_ref[0])
+    def _work():
+        dot = lambda a, b: jax.lax.dot_general(  # noqa: E731
+            a, b, (((1,), (0,)), ((), ())),
+            precision=None if bf16x3 else jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        q = dot(c_ref[0], f_ref[...])
+        det = q[0 * sub:1 * sub, :]
+        bx = q[1 * sub:2 * sub, :]
+        by = q[2 * sub:3 * sub, :]
+        td = q[3 * sub:4 * sub, :]
+
+        sd = det * det
+        v = jnp.minimum(bx * det, by * det)
+        v = jnp.minimum(v, sd - (bx + by) * det)
+        v = jnp.minimum(v, sd - PLUCKER_EPS2)
+        tdd = td * det
+        hit = (v >= 0.0) & (tdd > 0.0) & (tdd < tm_ref[...] * sd)
+        any_hit = jnp.max(hit.astype(jnp.int32), axis=0, keepdims=True)
+        for j in range(group):
+            col = slice(j * 128, (j + 1) * 128)
+            row = pl.ds(row_ref[w] * group + j, 1)
+            occ_ref[row, :] = occ_ref[row, :] | any_hit[:, col]
+
+
+def _compact_pallas_call(kernel, w_max, sub, kdim, rows, out_shapes,
+                         group=1, extra_in_specs=(), interpret=False):
+    """Shared PrefetchScalarGridSpec plumbing for the compact kernels."""
+    c_spec = pl.BlockSpec(
+        (1, 4 * sub, kdim),
+        lambda w, wrow, wsub, cnt: (wsub[w], 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    f_spec = pl.BlockSpec(
+        (kdim, group * 128),
+        lambda w, wrow, wsub, cnt: (0, wrow[w]),
+        memory_space=pltpu.VMEM,
+    )
+    out_spec = pl.BlockSpec(
+        (rows, 128), lambda w, wrow, wsub, cnt: (0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(w_max,),
+        in_specs=[c_spec, f_spec, *extra_in_specs],
+        out_specs=[out_spec] * len(out_shapes),
+    )
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec, out_shape=out_shapes,
+        interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("interpret", "bf16x3", "work_per_row", "group"),
+)
+def intersect_plucker_compact(
+    tri_packed, ray_o, ray_d,
+    tri_order=None, cluster_bounds=None, tmax=None,
+    interpret: bool = False, bf16x3: bool | None = None,
+    work_per_row: int = 24, group: int = 4,
+):
+    """Closest hit via the compacted work-list MXU sweep.
+
+    Semantics match :func:`intersect_plucker_pallas` (positional winner ids
+    remapped through ``tri_order``; ``tmax = -inf`` lanes are dead).  Work
+    items are (``group``·128-ray row group, 64-tri sub-cluster) pairs — one
+    feature DMA + one MXU op each; larger groups amortize the ~0.45 us
+    per-step pipeline cost over more lanes at the price of coarser culling.
+    The global budget is ``work_per_row`` items per row group; if the
+    prepass flags more pairs, the whole launch falls back to the scan
+    kernel (lax.cond — both branches compiled, one executed).
+    ``cluster_bounds`` is REQUIRED (the work list is the cull)."""
+    assert cluster_bounds is not None, "compact path requires cluster bounds"
+    n = ray_o.shape[0]
+    if n > COMPACT_MAX_LANES:
+        prims, dists = [], []
+        for lo in range(0, n, COMPACT_MAX_LANES):
+            hi = lo + COMPACT_MAX_LANES
+            p, t = intersect_plucker_compact(
+                tri_packed, ray_o[lo:hi], ray_d[lo:hi],
+                tri_order=tri_order, cluster_bounds=cluster_bounds,
+                tmax=None if tmax is None else tmax[lo:hi],
+                interpret=interpret, bf16x3=bf16x3,
+                work_per_row=work_per_row, group=group,
+            )
+            prims.append(p)
+            dists.append(t)
+        return jnp.concatenate(prims), jnp.concatenate(dists)
+
+    num_tris = tri_packed.shape[0]
+    if bf16x3 is None:
+        bf16x3 = num_tris <= PLUCKER_BF16X3_MAX_TRIS
+    sub = CLUSTER_SUB
+    t_pad = -(-num_tris // sub) * sub
+    n_pad = -(-n // RAY_BLOCK) * RAY_BLOCK
+    rows = n_pad // 128
+
+    if tri_order is not None:
+        tri_packed = tri_packed[tri_order]
+
+    v0 = tri_packed[:, 0:3]
+    center = jax.lax.stop_gradient(0.5 * (v0.min(axis=0) + v0.max(axis=0)))
+    coeffs = _plucker_coeffs(
+        tri_packed, center, jnp.arange(num_tris, dtype=jnp.int32)
+    )[0:4]
+    coeffs = jnp.pad(coeffs, ((0, 0), (0, t_pad - num_tris), (0, 0)))
+    coeffs = _stack4(coeffs, sub, bf16x3)  # [t_pad//sub, 4*sub, K]
+
+    assert rows % group == 0  # RAY_BLOCK = 8 rows; group in {1, 2, 4, 8}
+    rowblks = rows // group
+    flags = _row_flags(cluster_bounds, ray_o, ray_d, tmax, rowblks,
+                       lanes=group * 128)
+    w_max = min(rowblks * work_per_row, rowblks * cluster_bounds.shape[0])
+    wrow, wsub, count = _work_list(flags, w_max)
+
+    o = ray_o - center
+    m = jnp.cross(o, ray_d)
+    feats = jnp.concatenate(
+        [ray_d, m, o, jnp.ones_like(o[:, :1])], axis=1
+    )  # [N, 10]
+    feats = jnp.pad(feats, ((0, n_pad - n), (0, 0)), constant_values=1.0)
+    feats = _split_feats(feats.T, bf16x3)  # [K, N_pad]
+    kdim = 30 if bf16x3 else 10
+
+    row_shape = (rows, 128)
+
+    def compact(_):
+        call = _compact_pallas_call(
+            functools.partial(_plucker_compact_kernel, sub=sub,
+                              bf16x3=bf16x3, group=group),
+            w_max, sub, kdim, rows,
+            out_shapes=[
+                jax.ShapeDtypeStruct(row_shape, jnp.int32),
+                jax.ShapeDtypeStruct(row_shape, jnp.float32),
+            ],
+            group=group,
+            interpret=interpret,
+        )
+        return call(wrow, wsub, count, coeffs, feats)
+
+    def dense(_):
+        p, t = intersect_plucker_pallas(
+            tri_packed, ray_o, ray_d,
+            tri_order=None, cluster_bounds=cluster_bounds, tmax=tmax,
+            interpret=interpret, bf16x3=bf16x3,
+        )
+        return (
+            jnp.pad(p, (0, n_pad - n), constant_values=NULL_PRIMITIVE)
+            .reshape(rows, 128),
+            jnp.pad(t, (0, n_pad - n), constant_values=FLT_MAX)
+            .reshape(rows, 128),
+        )
+
+    prim, dist = jax.lax.cond(count[0] <= w_max, compact, dense, None)
+
+    prim = prim.reshape(-1)[:n]
+    dist = dist.reshape(-1)[:n]
+    prim = jnp.where(dist < FLT_MAX, prim, NULL_PRIMITIVE)
+    if tri_order is not None:
+        prim = jnp.where(
+            prim >= 0, tri_order[jnp.maximum(prim, 0)], NULL_PRIMITIVE
+        )
+    return prim, dist
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("interpret", "bf16x3", "work_per_row", "group"),
+)
+def occlusion_plucker_compact(
+    tri_packed, x, y,
+    tri_order=None, cluster_bounds=None,
+    interpret: bool = False, bf16x3: bool | None = None,
+    work_per_row: int = 24, group: int = 4,
+):
+    """Any-hit segment query via the compacted work-list sweep — twin of
+    :func:`occlusion_plucker_pallas` (see intersect_plucker_compact for the
+    group/budget semantics)."""
+    assert cluster_bounds is not None, "compact path requires cluster bounds"
+    if x.shape[0] > COMPACT_MAX_LANES:
+        return jnp.concatenate([
+            occlusion_plucker_compact(
+                tri_packed, x[lo:lo + COMPACT_MAX_LANES],
+                y[lo:lo + COMPACT_MAX_LANES],
+                tri_order=tri_order, cluster_bounds=cluster_bounds,
+                interpret=interpret, bf16x3=bf16x3,
+                work_per_row=work_per_row, group=group,
+            )
+            for lo in range(0, x.shape[0], COMPACT_MAX_LANES)
+        ])
+    eps = 1e-4
+    d = y - x
+    dist = jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=-1), 1e-24))
+    dirn = d / dist[..., None]
+    max_dist = dist - eps
+    ray_o = x + dirn * 1e-5
+    ray_d = dirn
+
+    n = ray_o.shape[0]
+    num_tris = tri_packed.shape[0]
+    if bf16x3 is None:
+        bf16x3 = num_tris <= PLUCKER_BF16X3_MAX_TRIS
+    sub = CLUSTER_SUB
+    t_pad = -(-num_tris // sub) * sub
+    n_pad = -(-n // RAY_BLOCK) * RAY_BLOCK
+    rows = n_pad // 128
+
+    if tri_order is not None:
+        tri_packed = tri_packed[tri_order]
+
+    v0 = tri_packed[:, 0:3]
+    center = jax.lax.stop_gradient(0.5 * (v0.min(axis=0) + v0.max(axis=0)))
+    coeffs = _plucker_coeffs(
+        tri_packed, center, jnp.arange(num_tris, dtype=jnp.int32)
+    )[0:4]
+    coeffs = jnp.pad(coeffs, ((0, 0), (0, t_pad - num_tris), (0, 0)))
+    coeffs = _stack4(coeffs, sub, bf16x3)
+
+    assert rows % group == 0
+    rowblks = rows // group
+    flags = _row_flags(cluster_bounds, ray_o, ray_d, max_dist, rowblks,
+                       lanes=group * 128)
+    w_max = min(rowblks * work_per_row, rowblks * cluster_bounds.shape[0])
+    wrow, wsub, count = _work_list(flags, w_max)
+
+    o = ray_o - center
+    m = jnp.cross(o, ray_d)
+    feats = jnp.concatenate(
+        [ray_d, m, o, jnp.ones_like(o[:, :1])], axis=1
+    )
+    feats = jnp.pad(feats, ((0, n_pad - n), (0, 0)))
+    feats = _split_feats(feats.T, bf16x3)
+    kdim = 30 if bf16x3 else 10
+    tmrow = jnp.pad(max_dist, (0, n_pad - n), constant_values=-FLT_MAX)
+    tmrow = tmrow[None, :]  # [1, N_pad] f32
+
+    row_shape = (rows, 128)
+    tm_spec = pl.BlockSpec(
+        (1, group * 128), lambda w, wrow, wsub, cnt: (0, wrow[w]),
+        memory_space=pltpu.VMEM,
+    )
+
+    def compact(_):
+        call = _compact_pallas_call(
+            functools.partial(_plucker_compact_occl_kernel, sub=sub,
+                              bf16x3=bf16x3, group=group),
+            w_max, sub, kdim, rows,
+            out_shapes=[jax.ShapeDtypeStruct(row_shape, jnp.int32)],
+            group=group,
+            extra_in_specs=(tm_spec,),
+            interpret=interpret,
+        )
+        return call(wrow, wsub, count, coeffs, feats, tmrow)[0]
+
+    def dense(_):
+        occ = occlusion_plucker_pallas(
+            tri_packed, x, y,
+            tri_order=None, cluster_bounds=cluster_bounds,
+            interpret=interpret, bf16x3=bf16x3,
+        )
+        return jnp.pad(occ.astype(jnp.int32), (0, n_pad - n)).reshape(
+            rows, 128
+        )
+
+    occ = jax.lax.cond(count[0] <= w_max, compact, dense, None)
+    return occ.reshape(-1)[:n] != 0
+
+
+# ---------------------------------------------------------------------------
 # Quadratic-feature MXU intersector (round-2 redesign of the Plücker kernel)
 # ---------------------------------------------------------------------------
 #

@@ -258,6 +258,97 @@ def test_plucker_culled_noorder_occlusion_matches(scene_rays):
     np.testing.assert_array_equal(np.asarray(o1), np.asarray(o0))
 
 
+def test_compact_matches_brute(scene_rays):
+    """The compacted work-list kernel agrees with brute force (exact prim
+    parity on random rays)."""
+    from radish_pt_tpu.accel.pallas_kernels import intersect_plucker_compact
+
+    tri_packed, ray_o, ray_d = scene_rays
+    cb = _make_cluster_bounds(tri_packed)
+    p0, d0, _ = trv.intersect_brute(tri_packed, ray_o, ray_d)
+    p1, d1 = intersect_plucker_compact(
+        tri_packed, ray_o, ray_d, cluster_bounds=cb, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p0))
+    hits = np.asarray(p0) >= 0
+    np.testing.assert_allclose(
+        np.asarray(d1)[hits], np.asarray(d0)[hits], rtol=5e-3
+    )
+
+
+def test_compact_overflow_falls_back_dense(scene_rays):
+    """work_per_row smaller than the flagged count must trigger the dense
+    fallback (lax.cond) and still return exact results."""
+    from radish_pt_tpu.accel.pallas_kernels import intersect_plucker_compact
+
+    tri_packed, ray_o, ray_d = scene_rays
+    cb = _make_cluster_bounds(tri_packed)
+    p0, d0, _ = trv.intersect_brute(tri_packed, ray_o, ray_d)
+    p1, _ = intersect_plucker_compact(
+        tri_packed, ray_o, ray_d, cluster_bounds=cb, interpret=True,
+        work_per_row=1,
+    )
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p0))
+
+
+def test_compact_with_order_and_dead_lanes(scene_rays):
+    """tri_order remap + dead lanes (tmax = -inf) through the compact path."""
+    from radish_pt_tpu.accel.pallas_kernels import (
+        FLT_MAX, intersect_plucker_compact)
+
+    tri_packed, ray_o, ray_d = scene_rays
+    rng = np.random.default_rng(11)
+    order = jnp.asarray(
+        rng.permutation(tri_packed.shape[0]).astype(np.int32))
+    tp_perm = tri_packed[order]
+    cb = _make_cluster_bounds(tp_perm)
+    n = ray_o.shape[0]
+    active = np.zeros(n, bool)
+    active[::3] = True
+    tmax = jnp.where(jnp.asarray(active), FLT_MAX, -FLT_MAX)
+    p0, _, _ = trv.intersect_brute(tri_packed, ray_o, ray_d)
+    p1, _ = intersect_plucker_compact(
+        tri_packed, ray_o, ray_d, tri_order=order, cluster_bounds=cb,
+        tmax=tmax, interpret=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(p1)[active], np.asarray(p0)[active]
+    )
+
+
+def test_compact_occlusion_matches_brute(scene_rays):
+    from radish_pt_tpu.accel.pallas_kernels import occlusion_plucker_compact
+
+    tri_packed, ray_o, ray_d = scene_rays
+    cb = _make_cluster_bounds(tri_packed)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(-4, 4, size=(64, 3)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(-4, 4, size=(64, 3)).astype(np.float32))
+    o0 = trv.occlusion_brute(tri_packed, x, y)
+    o1 = occlusion_plucker_compact(
+        tri_packed, x, y, cluster_bounds=cb, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o0))
+
+
+def test_row_cone_prepass_conservative(scene_rays):
+    """The O(rows x C) row-cone prepass must flag a superset of the exact
+    per-ray flags (conservative culling never loses hits)."""
+    import radish_pt_tpu.accel.pallas_kernels as pk
+
+    tri_packed, ray_o, ray_d = scene_rays
+    cb = _make_cluster_bounds(tri_packed)
+    rows = -(-ray_o.shape[0] // 128)
+    exact = np.asarray(pk._row_flags(cb, ray_o, ray_d, None, rows))
+    orig = pk._PER_RAY_PREPASS_MAX
+    try:
+        pk._PER_RAY_PREPASS_MAX = 0  # force the cone path
+        cone = np.asarray(pk._row_flags(cb, ray_o, ray_d, None, rows))
+    finally:
+        pk._PER_RAY_PREPASS_MAX = orig
+    assert (cone | exact == cone).all()  # superset
+
+
 def test_pallas_occlusion_matches_xla(scene_rays):
     tri_packed, ray_o, ray_d = scene_rays
     rng = np.random.default_rng(3)

@@ -50,9 +50,12 @@ def _run(f, *args, n_warm=2, n_iter=4):
     return (time.perf_counter() - t0) / n_iter * 1e3
 
 
-def slope(name, stage, seed_val, *static):
+def slope(name, stage, seed_val, *static, key=None, only=None):
     """stage: (carry_f32[N], *static) -> f32[N]-reducible output.
-    Times K in-jit repetitions; prints marginal ms per repetition."""
+    Times K in-jit repetitions; prints marginal ms per repetition.
+    Skipped (returns 0) when ``only`` is given and ``key`` not in it."""
+    if only is not None and key is not None and key not in only:
+        return 0.0
 
     def rep(k):
         def f(x, *s):
@@ -71,6 +74,7 @@ def slope(name, stage, seed_val, *static):
 
 def main():
     scene_path = sys.argv[1] if len(sys.argv) > 1 else "scenes/cornell_box.txt"
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
     desc = parse_scene(scene_path)
     ds, cam = sbuild.build_device_scene(desc)
     n = cam.width * cam.height
@@ -101,20 +105,20 @@ def main():
         r, _ = rng.sample_4d(ds.sobol, s)
         return r[:, 0]
 
-    t["rng4"] = slope("rng.sample_4d", st_rng, jnp.zeros(n))
+    t["rng4"] = slope("rng.sample_4d", st_rng, jnp.zeros(n), key="rng4", only=only)
 
     def st_isect(c):
         o = ray_o + c[:, None]
         return dsc.intersect(ds, o, ray_d).pos[:, 0]
 
-    t["isect"] = slope("intersect+surface_info (coherent)", st_isect, jnp.zeros(n))
+    t["isect"] = slope("intersect+surface_info (coherent)", st_isect, jnp.zeros(n), key="isect", only=only)
 
     def st_isect_div(c):
         o = pos + sec_d * 1e-5 + c[:, None]
         return dsc.intersect(ds, o, sec_d).pos[:, 0]
 
     t["isect_div"] = slope("intersect+surface_info (divergent)", st_isect_div,
-                           jnp.zeros(n))
+                           jnp.zeros(n), key="isect_div", only=only)
 
     if ds.intersector == "pallas_mxu":
         from radish_pt_tpu.accel.pallas_kernels import intersect_plucker_pallas
@@ -127,28 +131,28 @@ def main():
             )[1]
 
         t["raw"] = slope("raw MXU sweep (divergent, unsorted)", st_raw,
-                         jnp.zeros(n))
+                         jnp.zeros(n), key="raw", only=only)
 
         def st_isrt(c):
             o = pos + sec_d * 1e-5 + c[:, None]
             return dsc.intersect_sorted(ds, o, sec_d).pos[:, 0]
 
         t["isect_sorted"] = slope("intersect_sorted (divergent)", st_isrt,
-                                  jnp.zeros(n))
+                                  jnp.zeros(n), key="isect_sorted", only=only)
 
         if ds.cluster_bounds is not None:
             def st_key(c):
                 o = pos + c[:, None]
                 return dsc._sort_key(ds, o, sec_d).astype(jnp.float32)
 
-            t["sortkey"] = slope("signature sort key", st_key, jnp.zeros(n))
+            t["sortkey"] = slope("signature sort key", st_key, jnp.zeros(n), key="sortkey", only=only)
 
         def st_osrt(c):
             o = pos + c[:, None]
             return dsc.test_occlusion_sorted(ds, o, o + sec_d * 2.0).astype(
                 jnp.float32)
 
-        t["occ_sorted"] = slope("test_occlusion_sorted", st_osrt, jnp.zeros(n))
+        t["occ_sorted"] = slope("test_occlusion_sorted", st_osrt, jnp.zeros(n), key="occ_sorted", only=only)
 
     def st_surf(c):
         prim = (it.prim_id + (c * 1e30).astype(jnp.int32)) % jnp.maximum(
@@ -156,48 +160,50 @@ def main():
         p, nn, uv, _ = dsc.surface_info(ds, prim, it.uv)
         return p[:, 0] + nn[:, 0] + uv[:, 0]
 
-    t["surf"] = slope("surface_info gathers", st_surf, jnp.zeros(n))
+    t["surf"] = slope("surface_info gathers", st_surf, jnp.zeros(n), key="surf", only=only)
 
     def st_mat(c):
         mid = (it.mat_id + (c * 1e30).astype(jnp.int32)) % ds.mat_type.shape[0]
         sm, nn = dsc.get_textured_material(ds, mid, it.uv, it.norm)
         return sm.base_color[:, 0] + nn[:, 0]
 
-    t["mat"] = slope("get_textured_material", st_mat, jnp.zeros(n))
+    t["mat"] = slope("get_textured_material", st_mat, jnp.zeros(n), key="mat", only=only)
 
     def st_light(c):
         li, wi, dist, pdf = dsc.sample_direct_light_no_vis(ds, pos + c[:, None], r4)
         return li[:, 0] + wi[:, 0] + pdf
 
-    t["light"] = slope("sample_direct_light_no_vis", st_light, jnp.zeros(n))
+    t["light"] = slope("sample_direct_light_no_vis", st_light, jnp.zeros(n), key="light", only=only)
 
     def st_occ(c):
         return dsc.test_occlusion(ds, pos + c[:, None], pos + sec_d * 2.0).astype(
             jnp.float32)
 
-    t["occ"] = slope("test_occlusion", st_occ, jnp.zeros(n))
+    t["occ"] = slope("test_occlusion", st_occ, jnp.zeros(n), key="occ", only=only)
 
     def st_beval(c):
         w = m_norm(sec_d + c[:, None])
         return bsdf.bsdf_eval(mat, norm, -ray_d, w)[:, 0] + bsdf.bsdf_pdf(
             mat, norm, -ray_d, w)
 
-    t["beval"] = slope("bsdf eval+pdf", st_beval, jnp.zeros(n))
+    t["beval"] = slope("bsdf eval+pdf", st_beval, jnp.zeros(n), key="beval", only=only)
 
     def st_bsample(c):
         samp = bsdf.bsdf_sample(mat, norm, -ray_d, r4[:, :3] * (1 - c[:, None] * 1e-30))
         return samp.dir[:, 0] + samp.pdf
 
-    t["bsample"] = slope("bsdf sample", st_bsample, jnp.zeros(n))
+    t["bsample"] = slope("bsdf sample", st_bsample, jnp.zeros(n), key="bsample", only=only)
 
-    print("\n--- whole-frame reference ---")
-    full = _run(jax.jit(lambda lo: pt.path_trace(ds, cam, lo, 5)), 7)
-    d1 = _run(jax.jit(lambda lo: pt.path_trace(ds, cam, lo, 1)), 7)
-    print(f"  path_trace depth 5: {full:.1f} ms;  depth 1: {d1:.1f} ms;  "
-          f"marginal bounce: {(full - d1) / 4:.1f} ms")
-    per_bounce_sum = (t["rng4"] * 2 + t["isect_div"] + t["surf"] + t["mat"]
-                      + t["light"] + t["occ"] + t["beval"] + t["bsample"])
-    print(f"  sum of isolated per-bounce stages: {per_bounce_sum:.1f} ms")
+    if only is None or "frame" in only:
+        print("\n--- whole-frame reference ---")
+        full = _run(jax.jit(lambda lo: pt.path_trace(ds, cam, lo, 5)), 7)
+        d1 = _run(jax.jit(lambda lo: pt.path_trace(ds, cam, lo, 1)), 7)
+        print(f"  path_trace depth 5: {full:.1f} ms;  depth 1: {d1:.1f} ms;  "
+              f"marginal bounce: {(full - d1) / 4:.1f} ms")
+    if only is None:
+        per_bounce_sum = (t["rng4"] * 2 + t["isect_div"] + t["surf"] + t["mat"]
+                          + t["light"] + t["occ"] + t["beval"] + t["bsample"])
+        print(f"  sum of isolated per-bounce stages: {per_bounce_sum:.1f} ms")
 
 
 def m_norm(v):
