@@ -122,13 +122,19 @@ def build_device_scene(
     bvh = build_bvh(tri_v.reshape(-1, 3))
 
     intersector = os.environ.get("RADISH_INTERSECTOR", "")
-    if intersector not in ("pallas_mxu", "pallas_brute", "bvh", "brute"):
+    if intersector not in ("pallas_mxu", "pallas_compact", "pallas_brute",
+                           "bvh", "brute"):
         from ..accel.pallas_kernels import PALLAS_MXU_MAX_TRIS, pallas_available
 
         if pallas_available() and num_tris <= PALLAS_MXU_MAX_TRIS:
             # MXU Plücker sweep: the MT arithmetic rides the MXU, leaving a
             # ~17 ops/pair VPU epilogue — ~3x the VPU dense sweep
             intersector = "pallas_mxu"
+        elif pallas_available():
+            # >65k tris: the chunk-scan sweep walks every (row, chunk) pair;
+            # the compacted work-list kernel only walks flagged pairs, so
+            # its cost follows the per-ray cluster count, not the scene size
+            intersector = "pallas_compact"
         elif use_bvh:
             intersector = "bvh"
         else:

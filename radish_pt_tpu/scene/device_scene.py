@@ -266,13 +266,17 @@ def intersect(ds: DeviceScene, ray_o, ray_d, active=None) -> Interaction:
     sub-clusters and an all-dead 1024-ray block skips every sweep with a
     scalar branch.  Dead lanes return prim_id == NULL_PRIMITIVE.
     """
-    if ds.intersector == "pallas_mxu":
-        from ..accel.pallas_kernels import FLT_MAX, intersect_plucker_pallas
+    if ds.intersector in ("pallas_mxu", "pallas_compact"):
+        from ..accel.pallas_kernels import (
+            FLT_MAX, intersect_plucker_compact, intersect_plucker_pallas)
 
         tmax = None
         if active is not None:
             tmax = jnp.where(active, FLT_MAX, -FLT_MAX)
-        prim, dist = intersect_plucker_pallas(
+        isect = (intersect_plucker_compact
+                 if ds.intersector == "pallas_compact"
+                 else intersect_plucker_pallas)
+        prim, dist = isect(
             ds.tri_packed, ray_o, ray_d,
             tri_order=ds.tri_order, cluster_bounds=ds.cluster_bounds,
             tmax=tmax,
@@ -337,18 +341,22 @@ def intersect_sorted(ds: DeviceScene, ray_o, ray_d, active=None) -> Interaction:
     o_s = jnp.stack(s[2:5], axis=-1)
     d_s = jnp.stack(s[5:8], axis=-1)
 
-    if ds.intersector == "pallas_mxu":
+    if ds.intersector in ("pallas_mxu", "pallas_compact"):
         # run just the (prim, dist) sweep on the sorted rays; the inverse
         # sort then carries only 2 payload columns and the surface/material
         # interpolation happens in PIXEL order (same gather cost, ~8 fewer
         # sort columns)
-        from ..accel.pallas_kernels import FLT_MAX, intersect_plucker_pallas
+        from ..accel.pallas_kernels import (
+            FLT_MAX, intersect_plucker_compact, intersect_plucker_pallas)
 
         tmax = None
         if active is not None:
             # dead lanes (sorted to the back) flag no clusters: tmax = -inf
             tmax = jnp.where(s[8], FLT_MAX, -FLT_MAX)
-        prim_s, dist_s = intersect_plucker_pallas(
+        isect = (intersect_plucker_compact
+                 if ds.intersector == "pallas_compact"
+                 else intersect_plucker_pallas)
+        prim_s, dist_s = isect(
             ds.tri_packed, o_s, d_s,
             tri_order=ds.tri_order, cluster_bounds=ds.cluster_bounds,
             tmax=tmax,
@@ -487,10 +495,14 @@ def test_occlusion_sorted(ds: DeviceScene, x, y, mask=None):
 
 def test_occlusion(ds: DeviceScene, x, y):
     """True where segment x->y is blocked (testOcclusion, scene.h:303-334)."""
-    if ds.intersector == "pallas_mxu":
-        from ..accel.pallas_kernels import occlusion_plucker_pallas
+    if ds.intersector in ("pallas_mxu", "pallas_compact"):
+        from ..accel.pallas_kernels import (
+            occlusion_plucker_compact, occlusion_plucker_pallas)
 
-        return occlusion_plucker_pallas(
+        occl = (occlusion_plucker_compact
+                if ds.intersector == "pallas_compact"
+                else occlusion_plucker_pallas)
+        return occl(
             ds.tri_packed, x, y,
             tri_order=ds.tri_order, cluster_bounds=ds.cluster_bounds,
         )
