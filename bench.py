@@ -70,9 +70,12 @@ def bench(quick: bool = False, verbose: bool = True):
             print(msg, file=sys.stderr)
 
     scenes = [("cornell", os.path.join(REPO, "scenes", "cornell_box.txt"))]
-    teapot = os.path.join(REPO, "scenes", "teapot.txt")
-    if os.path.exists(teapot):
-        scenes.append(("teapot", teapot))
+    for extra in ("teapot", "glass", "teapot_hires"):
+        path = os.path.join(REPO, "scenes", f"{extra}.txt")
+        if os.path.exists(path):
+            scenes.append((extra, path))
+    if quick:
+        scenes = scenes[:2]
 
     for name, path in scenes:
         ds, cam, desc = load_scene(path)
@@ -82,7 +85,8 @@ def bench(quick: bool = False, verbose: bool = True):
         fn = jax.jit(
             lambda ds, cam, looper: pt.path_trace(ds, cam, looper, depth)
         )
-        ms = _time_frames(lambda i: fn(ds, cam, i))
+        n_iter = 4 if name == "teapot_hires" else 8
+        ms = _time_frames(lambda i: fn(ds, cam, i), n_iter=n_iter)
         # rays per frame: primary + per-bounce (extension + shadow) upper bound
         # count the *primary* figure like the reference's per-frame quote
         mrays = n_rays_primary * (1 + 2 * depth) / (ms * 1e-3) / 1e6
@@ -120,6 +124,44 @@ def bench(quick: bool = False, verbose: bool = True):
             ms_r = _time_frames(restir_step, n_warmup=2, n_iter=4 if quick else 8)
             results["restir_frame_ms"] = round(ms_r, 3)
             log(f"[cornell] ReSTIR frame (gbuffer + 32-candidate RIS + T+S reuse): {ms_r:.2f} ms")
+
+            # steady-state batched ReSTIR: 8 frames per dispatch with carried
+            # reservoir state (render/renderer.py::_restir_batch) — the
+            # interactive mode's effective per-frame cost without tunnel RTT
+            from functools import partial
+
+            from radish_pt_tpu.render.renderer import _restir_batch
+
+            block = 8
+            bfn = jax.jit(
+                partial(
+                    _restir_batch,
+                    reuse=ReservoirReuse.TEMPORAL_SPATIAL,
+                    reservoir_size=32, clamp=20, encode_normal=False,
+                    block=block,
+                ),
+                donate_argnums=(7,),
+            )
+            bstate = {
+                "res": rs.empty_reservoir(n),
+                "direct": jnp.zeros((n, 3), jnp.float32),
+                "last": gbuf.frame,
+                "first": True,
+            }
+
+            def restir_batched_step(i):
+                d, r, g = bfn(
+                    ds, cam, cam, i * block, bstate["last"], bstate["res"],
+                    jnp.asarray(bstate["first"]), bstate["direct"], i * block,
+                )
+                bstate.update(res=r, direct=d, last=g.frame, first=False)
+                return d
+
+            ms_b = _time_frames(
+                restir_batched_step, n_warmup=1, n_iter=2 if quick else 4
+            ) / block
+            results["restir_batched_ms"] = round(ms_b, 3)
+            log(f"[cornell] ReSTIR steady-state (batched x{block}): {ms_b:.2f} ms/frame")
 
     primary = results.get("teapot_pt_ms", results["cornell_pt_ms"])
     return {

@@ -72,7 +72,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
         help="debug channel for --tracer gbuffer",
     )
     p.add_argument("--batch-spp", type=int, default=0,
-                   help="samples per device dispatch (full-PT tracer; amortizes dispatch latency)")
+                   help="samples per device dispatch (pt/restir tracers; "
+                   "amortizes dispatch latency)")
     p.add_argument("--checkpoint", default=None,
                    help="write render-state checkpoint here when done")
     p.add_argument("--resume", default=None, help="resume from a checkpoint")
@@ -149,7 +150,7 @@ def main(argv=None) -> int:
     spp = args.spp or r.state.iterations
     print(f"[rendering {spp} spp, tracer={args.tracer}, depth={s.trace_depth}]")
     t0 = time.time()
-    if args.batch_spp > 1 and args.tracer == "pt":
+    if args.batch_spp > 1 and args.tracer in ("pt", "restir"):
         r.render_batched(spp, block=args.batch_spp)
     else:
         for i in range(spp):

@@ -145,3 +145,41 @@ def test_restir_matches_pt_direct_mean(cornell):
     mr, md = np.mean(means_r), np.mean(means_d)
     assert mr == pytest.approx(md, rel=0.15), (mr, md)
     assert mr > 0.01
+
+
+def test_batched_restir_matches_step_sequence(cornell):
+    """render_batched on the ReSTIR tracer must reproduce the unbatched
+    step() sequence exactly: same loopers, carried reservoir, G-buffer
+    rendered once per static-camera batch (VERDICT r1 weak #7)."""
+    from radish_pt_tpu.config import Settings, Tracer, Denoiser
+    from radish_pt_tpu.render.renderer import Renderer
+
+    ds, cam, desc = cornell
+    spp = 4
+
+    def make():
+        # desc=None: desc.state is a MUTABLE RenderState that would be shared
+        # (and advanced) across both renderers
+        return Renderer(
+            ds=ds, cam=cam, desc=None,
+            settings=Settings(
+                tracer=Tracer.RESTIR_DI, denoiser=Denoiser.NONE,
+                reservoir_size=4,
+            ),
+        )
+
+    a = make()
+    for _ in range(spp):
+        a.step()
+
+    b = make()
+    b.render_batched(spp, block=2)
+
+    np.testing.assert_allclose(
+        np.asarray(a.direct), np.asarray(b.direct), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.reservoir.weight), np.asarray(b.reservoir.weight),
+        rtol=1e-5, atol=1e-6,
+    )
+    assert a.state.iteration == b.state.iteration == spp
