@@ -74,6 +74,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-spp", type=int, default=0,
                    help="samples per device dispatch (pt/restir tracers; "
                    "amortizes dispatch latency)")
+    p.add_argument(
+        "--mesh", default=None, metavar="TILE[xSAMPLE]",
+        help="multi-chip device mesh, e.g. '8' (8-way pixel tiles) or '4x2' "
+        "(4 tiles x 2 decorrelated sample streams); pt/restir tracers",
+    )
     p.add_argument("--checkpoint", default=None,
                    help="write render-state checkpoint here when done")
     p.add_argument("--resume", default=None, help="resume from a checkpoint")
@@ -95,14 +100,26 @@ def main(argv=None) -> int:
 
         jax.config.update("jax_debug_nans", True)
 
+    mesh = None
+    if args.mesh:
+        from .parallel.sharding import make_mesh
+
+        parts = args.mesh.lower().split("x")
+        n_tile = int(parts[0])
+        n_sample = int(parts[1]) if len(parts) > 1 else 1
+        mesh = make_mesh(n_tile=n_tile, n_sample=n_sample)
+        print(f"[mesh: {n_tile} tile x {n_sample} sample over "
+              f"{mesh.devices.ravel()[0].platform} devices]")
+
     t0 = time.time()
-    r = Renderer(scene_path=args.scene, timing=args.timing)
+    r = Renderer(scene_path=args.scene, timing=args.timing, mesh=mesh)
     if args.res is not None:
         r = Renderer(
             ds=r.ds,
             cam=r.cam.replace(width=args.res[0], height=args.res[1]),
             desc=r.desc,
             timing=args.timing,
+            mesh=mesh,
         )
     print(
         f"[scene loaded in {time.time() - t0:.1f}s: "

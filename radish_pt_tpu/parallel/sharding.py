@@ -98,6 +98,49 @@ def render_frame_sharded(
     return out[: cam.width * cam.height]
 
 
+def pt_step_sharded(
+    mesh: Mesh,
+    ds: dsc.DeviceScene,
+    cam: cam_mod.Camera,
+    direct,  # [n_pad, 3] accumulation, pixel-sharded (tile)
+    looper,
+    iteration,
+    *,
+    max_depth: int,
+):
+    """Full-PT trace + scrub + accumulate on PADDED sharded buffers — the
+    per-frame step for ``Renderer(mesh=...)``.  Unlike
+    :func:`render_accumulate_sharded` the accumulation buffer keeps the
+    padded length so it can stay sharded across frames (pad lanes re-trace
+    the last pixel and are dropped at display time)."""
+    n_tile = mesh.shape["tile"]
+    n_sample = mesh.shape["sample"]
+    n_pad = _padded_pixel_count(cam, n_tile)
+    pixel_idx = jnp.minimum(
+        jnp.arange(n_pad, dtype=jnp.int32), cam.width * cam.height - 1
+    )
+    sample_offset = jnp.arange(n_sample, dtype=jnp.int32)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P("tile"), P("sample"), P("tile")),
+        out_specs=P("tile"),
+    )
+    def tile_fn(ds_rep, cam_rep, looper_r, iter_r, idx_shard, my_offset,
+                direct_sh):
+        my_looper = looper_r + my_offset[0] * 37
+        d, ind = pt.path_trace(ds_rep, cam_rep, my_looper, max_depth, idx_shard)
+        img = jax.lax.pmean(d + ind, axis_name="sample")
+        img = pt.scrub_and_compress(img)
+        return pt.accumulate(direct_sh, img, iter_r)
+
+    return tile_fn(
+        ds, cam, jnp.asarray(looper, jnp.int32),
+        jnp.asarray(iteration, jnp.int32), pixel_idx, sample_offset, direct,
+    )
+
+
 def render_accumulate_sharded(
     mesh: Mesh,
     ds: dsc.DeviceScene,
@@ -113,6 +156,83 @@ def render_accumulate_sharded(
     img = render_frame_sharded(mesh, ds, cam, looper, max_depth)
     img = pt.scrub_and_compress(img)
     return pt.accumulate(accum, img, iteration)
+
+
+def restir_step_sharded(
+    mesh: Mesh,
+    ds: dsc.DeviceScene,
+    cam: cam_mod.Camera,
+    last_cam: cam_mod.Camera,
+    looper,
+    gbuf_last,  # GBufferFrame, pixel-sharded (tile)
+    last_reservoir,  # DirectReservoir, pixel-sharded (tile)
+    first_frame,
+    direct,  # [n_pad, 3] accumulation, pixel-sharded (tile)
+    iteration,
+    *,
+    reuse: int,
+    reservoir_size: int = 32,
+    temporal_clamp: int = 20,
+    encode_normal: bool = False,
+):
+    """One interactive ReSTIR frame (G-buffer + RIS + temporal + spatial
+    reuse + accumulate) sharded by pixel rows over the ``tile`` axis.
+
+    Seam semantics (documented + tested, tests/test_sharding.py): reservoir
+    and G-buffer state live with their pixels, so temporal gathers and the
+    5-disk spatial reuse are chip-local; a candidate whose global pixel index
+    falls in another shard is REJECTED by the packed global-idx column —
+    exactly the reference's behavior at an image border (restir.cu:43-60).
+    Interior pixels (>5 rows from a seam, static camera) match the
+    single-device render bitwise.
+
+    The ``sample`` axis is not used by this step (reservoir state is
+    per-pixel history — replicating it across decorrelated sample streams
+    would fork the temporal chain); build the mesh with ``n_sample=1`` or
+    shard only over ``tile``.
+
+    Returns (direct, reservoir_out, gbuf) like renderer._restir_batch.
+    """
+    from ..render import gbuffer as gb
+    from ..render import restir as rs
+
+    n_tile = mesh.shape["tile"]
+    n_pad = _padded_pixel_count(cam, n_tile)
+    pixel_idx = jnp.minimum(
+        jnp.arange(n_pad, dtype=jnp.int32), cam.width * cam.height - 1
+    )
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(), P(), P(), P(), P(), P(),
+            P("tile"), P("tile"), P("tile"), P("tile"),
+        ),
+        out_specs=(P("tile"), P("tile"), P("tile")),
+    )
+    def tile_fn(
+        ds_rep, cam_rep, last_cam_rep, looper_r, first_r, iter_r,
+        idx_shard, gbuf_last_sh, res_sh, direct_sh,
+    ):
+        gbuf = gb.render_gbuffer(
+            ds_rep, cam_rep, last_cam_rep, encode_normal=encode_normal,
+            pixel_idx=idx_shard,
+        )
+        d, res_out = rs.restir_direct(
+            ds_rep, cam_rep, looper_r, gbuf, gbuf_last_sh, res_sh,
+            first_r, reuse, reservoir_size, temporal_clamp,
+            pixel_idx=idx_shard,
+        )
+        d = pt.scrub_and_compress(d)
+        return pt.accumulate(direct_sh, d, iter_r), res_out, gbuf
+
+    return tile_fn(
+        ds, cam, last_cam,
+        jnp.asarray(looper, jnp.int32), jnp.asarray(first_frame, bool),
+        jnp.asarray(iteration, jnp.int32),
+        pixel_idx, gbuf_last, last_reservoir, direct,
+    )
 
 
 def replicate_scene(mesh: Mesh, ds: dsc.DeviceScene) -> dsc.DeviceScene:

@@ -74,9 +74,15 @@ def render_gbuffer(
     cam: cam_mod.Camera,
     last_cam: cam_mod.Camera,
     encode_normal: bool = False,
+    pixel_idx=None,
 ) -> GBufferOut:
-    n = cam.width * cam.height
-    idx = jnp.arange(n, dtype=jnp.int32)
+    """``pixel_idx`` (optional i32 [n_local] GLOBAL flat pixel indices) lets a
+    shard_map caller render a row-shard of the G-buffer; motion stays a
+    global index into the last frame."""
+    if pixel_idx is None:
+        idx = jnp.arange(cam.width * cam.height, dtype=jnp.int32)
+    else:
+        idx = pixel_idx
     x = idx % cam.width
     y = idx // cam.width
 

@@ -103,6 +103,7 @@ class Renderer:
         desc=None,
         settings: Settings | None = None,
         timing: bool = False,
+        mesh=None,
     ):
         if scene_path is not None:
             ds, cam, desc = load_scene(scene_path)
@@ -116,6 +117,15 @@ class Renderer:
 
         n = cam.width * cam.height
         self.n_pixels = n
+        self.mesh = mesh
+        if mesh is not None:
+            # multi-chip mode: pixel buffers pad to the tile count and shard
+            # over the mesh; the scene pytree replicates (parallel/sharding.py)
+            from ..parallel import sharding as sh
+
+            n = sh._padded_pixel_count(cam, mesh.shape["tile"])
+            self.ds = sh.replicate_scene(mesh, ds)
+        self.n_alloc = n
         self.direct = jnp.zeros((n, 3), jnp.float32)
         self.indirect = jnp.zeros((n, 3), jnp.float32)
         self.gbuf_last = gb.empty_frame(
@@ -126,6 +136,17 @@ class Renderer:
         self.svgf_direct = dn.empty_svgf_state(n)
         self.svgf_indirect = dn.empty_svgf_state(n)
         self.first_frame = True
+        if mesh is not None:
+            from ..parallel import sharding as sh
+
+            self.direct = sh.shard_image(mesh, self.direct, cam)
+            self.indirect = sh.shard_image(mesh, self.indirect, cam)
+            self.gbuf_last = jax.tree_util.tree_map(
+                lambda x: sh.shard_image(mesh, x, cam), self.gbuf_last
+            )
+            self.reservoir = jax.tree_util.tree_map(
+                lambda x: sh.shard_image(mesh, x, cam), self.reservoir
+            )
         self._orig_cam_pos = np.asarray(cam.position)
         self._time = 0.0
         self._fns = {}
@@ -227,6 +248,8 @@ class Renderer:
 
     def step(self):
         """Render one frame; returns the uint8 display image [H, W, 3]."""
+        if self.mesh is not None:
+            return self._step_sharded()
         s = self.settings
         st = self.state
         if s.animate_camera:
@@ -289,6 +312,81 @@ class Renderer:
         st.looper = (st.looper + 1) % SOBOL_SAMPLE_NUM
         self.last_cam = self.cam
         self.gbuf_last = self.gbuf.frame
+        self.first_frame = False
+        return np.asarray(disp)
+
+    def _step_sharded(self):
+        """One frame over ``self.mesh`` — G-buffer + ReSTIR (or full PT)
+        sharded by pixel rows over the ``tile`` axis with the accumulation,
+        reservoir and G-buffer state resident-sharded across chips
+        (parallel/sharding.py).  Display trims the tile padding."""
+        from ..parallel import sharding as sh
+
+        s = self.settings
+        st = self.state
+        if s.denoiser != Denoiser.NONE:
+            raise NotImplementedError(
+                "mesh mode shards the tracers; run denoisers single-device"
+            )
+        if s.animate_camera:
+            self._animate_camera()
+        if not s.accumulate:
+            self.reset_accumulation()
+
+        mesh = self.mesh
+        if s.tracer == Tracer.RESTIR_DI or s.use_reservoir:
+            fn = self._get(
+                (
+                    "restir_sharded", s.reservoir_reuse, s.reservoir_size,
+                    s.temporal_clamp, s.encode_normal,
+                ),
+                lambda: jax.jit(
+                    partial(
+                        sh.restir_step_sharded, mesh,
+                        reuse=s.reservoir_reuse,
+                        reservoir_size=s.reservoir_size,
+                        temporal_clamp=s.temporal_clamp,
+                        encode_normal=s.encode_normal,
+                    ),
+                    donate_argnums=(7,),
+                ),
+            )
+            with self.timer.time("restir_sharded"):
+                self.direct, self.reservoir, self.gbuf = fn(
+                    self.ds, self.cam, self.last_cam, st.looper,
+                    self.gbuf_last, self.reservoir,
+                    jnp.asarray(self.first_frame), self.direct, st.iteration,
+                )
+                self._sync_if_timing(self.direct)
+            self.gbuf_last = self.gbuf.frame
+        elif s.tracer in (Tracer.STREAMED, Tracer.SINGLE_KERNEL):
+            fn = self._get(
+                ("pt_sharded", s.trace_depth),
+                lambda: jax.jit(
+                    partial(sh.pt_step_sharded, mesh, max_depth=s.trace_depth),
+                    donate_argnums=(2,),
+                ),
+            )
+            with self.timer.time("pathtrace_sharded"):
+                self.direct = fn(
+                    self.ds, self.cam, self.direct, st.looper, st.iteration
+                )
+                self._sync_if_timing(self.direct)
+        else:
+            raise NotImplementedError("mesh mode supports the pt/restir tracers")
+        image = self.direct
+        self._last_image = image
+
+        with self.timer.time("display"):
+            disp = self._display_fn(s.tone_mapping)(
+                image[: self.n_pixels].reshape(
+                    self.cam.height, self.cam.width, 3
+                )
+            )
+
+        st.iteration += 1
+        st.looper = (st.looper + 1) % SOBOL_SAMPLE_NUM
+        self.last_cam = self.cam
         self.first_frame = False
         return np.asarray(disp)
 
@@ -512,8 +610,8 @@ class Renderer:
             if img is not None:
                 return img
         if s.tracer in (Tracer.STREAMED, Tracer.SINGLE_KERNEL) and not s.use_reservoir:
-            return post.add_image(self.direct, self.indirect)
-        return self.direct
+            return post.add_image(self.direct, self.indirect)[: self.n_pixels]
+        return self.direct[: self.n_pixels]
 
     def save(self, path: str | None = None, jpg: bool = False) -> str:
         """Tonemap + gamma + save, X-mirrored like the reference

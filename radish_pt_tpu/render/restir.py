@@ -150,40 +150,57 @@ def find_temporal_neighbor(
     motion,
     cur: GBufferFrame,
     last: GBufferFrame,
+    pixel_offset=None,
 ) -> DirectReservoir:
     """Gather last-frame reservoirs via motion indices with geometric
-    validation (findTemporalNeighbor, restir.cu:20-40) — one packed gather."""
-    last_idx = jnp.maximum(motion, 0)
+    validation (findTemporalNeighbor, restir.cu:20-40) — one packed gather.
+
+    ``pixel_offset`` (shard_map callers): the GLOBAL flat index of this
+    shard's first pixel.  ``motion`` is always a global index; gathers that
+    land outside the local shard are invalidated — a tile seam behaves like
+    an image border (documented seam semantics, parallel/sharding.py)."""
+    n_local = reservoir.weight.shape[0]
+    local = motion if pixel_offset is None else motion - pixel_offset
+    last_idx = jnp.clip(local, 0, n_local - 1)
     packed = _pack(
         reservoir, gb.decoded_normal(last), last.prim_id.astype(jnp.float32)
     )
     row = packed[last_idx]
-    ok = (motion >= 0) & (cur.prim_id > NULL_PRIMITIVE)
+    ok = (motion >= 0) & (local >= 0) & (local < n_local)
+    ok &= cur.prim_id > NULL_PRIMITIVE
     ok &= row[..., 12].astype(jnp.int32) == cur.prim_id
     ok &= m.abs_dot(gb.decoded_normal(cur), row[..., 9:12]) >= 0.1
     return _mask_empty(_unpack(row), ok)
 
 
 def _spatial_neighbor(
-    packed,  # [N, 14] reservoir + gbuffer columns (see merge_spatial)
+    packed,  # [N, 15] reservoir + gbuffer + global-idx columns (merge_spatial)
     x,
     y,
     width: int,
     height: int,
     cur: GBufferFrame,
     rand2,
+    pixel_offset=0,
 ):
     """One disk-sampled spatial neighbor with geometry tests
-    (findSpatialNeighborDisk, restir.cu:43-80) — ONE gather per neighbor."""
+    (findSpatialNeighborDisk, restir.cu:43-80) — ONE gather per neighbor.
+    Coordinates are GLOBAL; the gather is into the LOCAL shard (offset by
+    ``pixel_offset``), with out-of-shard candidates invalidated."""
     radius = 5.0
     p = m.concentric_sample_disk(rand2[..., 0], rand2[..., 1]) * radius
     px = (x.astype(jnp.float32) + 0.5 + p[..., 0]).astype(jnp.int32)
     py = (y.astype(jnp.float32) + 0.5 + p[..., 1]).astype(jnp.int32)
-    p_idx = jnp.clip(py * width + px, 0, width * height - 1)
-    row = packed[p_idx]
+    p_idx = py * width + px
+    local = p_idx - pixel_offset
+    n_local = packed.shape[0]
+    row = packed[jnp.clip(local, 0, n_local - 1)]
 
     ok = (px >= 0) & (px < width) & (py >= 0) & (py < height)
+    ok &= (local >= 0) & (local < n_local)
     ok &= ~((px == x) & (py == y))
+    # exact fetched-row identity: rejects clamped / cross-seam rows
+    ok &= row[..., 14].astype(jnp.int32) == p_idx
     ok &= row[..., 13].astype(jnp.int32) == cur.prim_id
     ok &= m.dot(row[..., 9:12], gb.decoded_normal(cur)) >= 0.1
     ok &= jnp.abs(row[..., 12] - cur.depth) <= cur.depth * 0.1
@@ -199,6 +216,7 @@ def merge_spatial(
     table,
     num_neighbors: int = 5,
     looper=None,
+    pixel_idx=None,
 ):
     """Merge 5 disk neighbors from the COMPLETED post-temporal reservoir image
     (mergeSpatialNeighborDirect, restir.cu:82-95) — a separate pass, so every
@@ -207,27 +225,39 @@ def merge_spatial(
     TPU deviation from the reference's per-pixel random disk: when ``looper``
     is given, each neighbor's disk offset is SHARED by all pixels and rotated
     per (frame, neighbor) by a hash — the fetch then lowers to a 2D roll of
-    the packed image (~0.1 ms) instead of a divergent [N, 14] gather (~5 ms);
+    the packed image (~0.1 ms) instead of a divergent [N, 15] gather (~5 ms);
     the 5-gather spatial pass was ~25 ms of the 59 ms ReSTIR frame.  Temporal
-    rotation restores the offset coverage per-pixel randomness provided."""
+    rotation restores the offset coverage per-pixel randomness provided.
+
+    ``pixel_idx`` (shard_map callers): GLOBAL flat indices of this row-shard's
+    pixels (contiguous ascending).  Neighbor candidates outside the shard are
+    rejected by the packed global-idx column — a tile seam behaves like an
+    image border."""
     n = temp.weight.shape[0]
-    idx = jnp.arange(n, dtype=jnp.int32)
+    if pixel_idx is None:
+        idx = jnp.arange(n, dtype=jnp.int32)
+        offset = 0
+    else:
+        idx = pixel_idx
+        offset = idx[0]
     x = idx % width
     y = idx // width
     packed = _pack(
         temp, gb.decoded_normal(cur), cur.depth,
-        cur.prim_id.astype(jnp.float32)
+        cur.prim_id.astype(jnp.float32), idx.astype(jnp.float32),
     )
     out = empty_reservoir(n)
     if looper is None:
         for _ in range(num_neighbors):
             r2, sampler = rng.sample_2d(table, sampler)
-            nb = _spatial_neighbor(packed, x, y, width, height, cur, r2)
+            nb = _spatial_neighbor(
+                packed, x, y, width, height, cur, r2, pixel_offset=offset
+            )
             r1, sampler = rng.sample_1d(table, sampler)
             out = _merge(out, nb, r1, ~_invalid(nb) & (nb.num > 0))
         return out, sampler
 
-    img = packed.reshape(height, width, packed.shape[1])
+    img = packed.reshape(-1, width, packed.shape[1])
     for k in range(num_neighbors):
         h1 = m.utilhash(jnp.uint32(looper) * 31 + jnp.uint32(2 * k + 1))
         h2 = m.utilhash(h1 ^ jnp.uint32(0x9E3779B9))
@@ -241,6 +271,9 @@ def merge_spatial(
         py = y + dy
         ok = (px >= 0) & (px < width) & (py >= 0) & (py < height)
         ok &= ~((dx == 0) & (dy == 0))
+        # exact fetched-row identity: a roll that wrapped around the local
+        # shard (or the image) never validates
+        ok &= row[..., 14].astype(jnp.int32) == py * width + px
         ok &= row[..., 13].astype(jnp.int32) == cur.prim_id
         ok &= m.dot(row[..., 9:12], gb.decoded_normal(cur)) >= 0.1
         ok &= jnp.abs(row[..., 12] - cur.depth) <= cur.depth * 0.1
@@ -261,22 +294,33 @@ def restir_direct(
     reuse: int,
     reservoir_size: int = 32,
     temporal_clamp: int = 20,
+    pixel_idx=None,
 ):
     """Full ReSTIR DI pass (ReSTIRDirectKernel, restir.cu:97-203).
 
     Returns (direct [N, 3] demodulated * gbuffer-albedo, reservoir_out) where
     ``reservoir_out`` is the post-temporal (pre-spatial) reservoir fed to the
     next frame, like the reference's ``tempReservoir`` (restir.cu:173,186-187).
+
+    ``pixel_idx``: optional GLOBAL flat pixel indices (contiguous ascending)
+    when running on a row-shard inside shard_map — temporal/spatial reuse
+    then treats shard seams like image borders (parallel/sharding.py).
     """
     from ..config import ReservoirReuse
     from .pathtrace import _gen_primary
 
-    n = cam.width * cam.height
-    idx = jnp.arange(n, dtype=jnp.int32)
+    if pixel_idx is None:
+        n = cam.width * cam.height
+        idx = jnp.arange(n, dtype=jnp.int32)
+        pixel_offset = None
+    else:
+        idx = pixel_idx
+        n = idx.shape[0]
+        pixel_offset = idx[0]
     sampler = rng.make_sampler(looper, idx)
     table = ds.sobol
 
-    ray_o, ray_d, sampler = _gen_primary(ds, cam, sampler)
+    ray_o, ray_d, sampler = _gen_primary(ds, cam, sampler, pixel_idx=pixel_idx)
     it = dsc.intersect(ds, ray_o, ray_d)
     hit = it.prim_id != NULL_PRIMITIVE
 
@@ -309,8 +353,14 @@ def restir_direct(
         r1, sampler = rng.sample_1d(table, sampler)
         return sampler, _update(res, li, wi, dist, w, r1)
 
+    # derive the empty reservoir from ray state so it inherits shard_map
+    # varying axes (a replicated zeros constant fails the fori carry check)
+    z3 = ray_d * 0.0
+    res0 = DirectReservoir(
+        li=z3, wi=z3, dist=z3[..., 0], num=z3[..., 0], weight=z3[..., 0]
+    )
     sampler, res = jax.lax.fori_loop(
-        0, reservoir_size, _candidate, (sampler, empty_reservoir(n))
+        0, reservoir_size, _candidate, (sampler, res0)
     )
 
     # ---- single visibility test on the winner (restir.cu:158-163); only
@@ -328,7 +378,8 @@ def restir_direct(
     # ---- temporal reuse (first_frame is traced: no recompile across frames) ----
     if reuse & ReservoirReuse.TEMPORAL:
         temporal = find_temporal_neighbor(
-            last_reservoir, gbuf.motion, gbuf.frame, last_frame
+            last_reservoir, gbuf.motion, gbuf.frame, last_frame,
+            pixel_offset=pixel_offset,
         )
         r1, sampler = rng.sample_1d(table, sampler)
         ok = (
@@ -344,7 +395,7 @@ def restir_direct(
     if reuse & ReservoirReuse.SPATIAL:
         spatial, sampler = merge_spatial(
             reservoir_out, gbuf.frame, cam.width, cam.height, sampler, table,
-            looper=looper,
+            looper=looper, pixel_idx=pixel_idx,
         )
         r1, sampler = rng.sample_1d(table, sampler)
         ok = ~_invalid(spatial) & (spatial.num > 0) & ~_invalid(res)

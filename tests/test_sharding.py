@@ -73,3 +73,63 @@ def test_accumulate_sharded_runs(cornell, cpu8):
     out = sh.render_accumulate_sharded(mesh, ds_r, cam, accum, 0, 0, max_depth=2)
     out = np.asarray(out)
     assert np.isfinite(out).all() and out.mean() > 0.01
+
+
+def test_restir_step_sharded_matches_single_device(cornell, cpu8):
+    """Sharded ReSTIR frame == single-device frame away from tile seams.
+
+    Seam semantics (sharding.py::restir_step_sharded): spatial reuse
+    candidates whose pixel lives in another shard are rejected (seam ==
+    image border), so only rows within the 5-pixel disk radius of a seam
+    may differ; interior rows must match bitwise-close.  Static camera, so
+    temporal gathers (identity motion) never cross seams."""
+    from radish_pt_tpu.config import ReservoirReuse
+    from radish_pt_tpu.render import gbuffer as gb
+    from radish_pt_tpu.render import restir as rs
+
+    ds, cam, _ = cornell
+    n_tile = 2
+    cam = cam.replace(width=16, height=32)  # 2 shards x 16 rows
+    n = cam.width * cam.height
+    mesh = sh.make_mesh(n_tile=n_tile, n_sample=1, devices=cpu8[:n_tile])
+    ds_r = sh.replicate_scene(mesh, ds)
+
+    res0 = rs.empty_reservoir(n)
+    gbuf_last0 = gb.empty_frame(n)
+    direct0 = jnp.zeros((n, 3), jnp.float32)
+
+    # two frames so the temporal chain is exercised
+    d_sh, r_sh, g_sh = sh.restir_step_sharded(
+        mesh, ds_r, cam, cam, 0, gbuf_last0, res0, True, direct0, 0,
+        reuse=ReservoirReuse.TEMPORAL_SPATIAL,
+    )
+    d_sh, r_sh, g_sh = sh.restir_step_sharded(
+        mesh, ds_r, cam, cam, 1, g_sh.frame, r_sh, False, d_sh, 1,
+        reuse=ReservoirReuse.TEMPORAL_SPATIAL,
+    )
+    d_sh = np.asarray(d_sh)[:n]
+
+    with jax.default_device(cpu8[0]):
+        gfn = jax.jit(gb.render_gbuffer)
+        state = (res0, gbuf_last0, direct0, True)
+        for i in range(2):
+            res, last_f, direct, first = state
+            gbuf = gfn(ds, cam, cam)
+            d, res = rs.restir_direct(
+                ds, cam, i, gbuf, last_f, res, jnp.asarray(first),
+                ReservoirReuse.TEMPORAL_SPATIAL, 32, 20,
+            )
+            direct = pt.accumulate(direct, pt.scrub_and_compress(d), i)
+            state = (res, gbuf.frame, direct, False)
+        d_ref = np.asarray(state[2])
+
+    img_sh = d_sh.reshape(cam.height, cam.width, 3)
+    img_ref = d_ref.reshape(cam.height, cam.width, 3)
+    seam = cam.height // n_tile  # first row of shard 1
+    interior = np.r_[0:seam - 5, seam + 5:cam.height]
+    np.testing.assert_allclose(
+        img_sh[interior], img_ref[interior], rtol=1e-5, atol=1e-6
+    )
+    # seam rows may differ (rejected cross-seam candidates) but must stay
+    # finite and non-negative
+    assert np.isfinite(img_sh).all() and (img_sh >= 0).all()
