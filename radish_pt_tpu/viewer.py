@@ -38,6 +38,11 @@ def main(argv=None) -> int:
     ap.add_argument("--res", type=int, nargs=2, metavar=("W", "H"), default=None)
     ap.add_argument("--spp-per-step", type=int, default=4)
     ap.add_argument("--preview", default="preview.png")
+    ap.add_argument(
+        "--http", type=int, default=0, metavar="PORT",
+        help="serve a browser live preview (MJPEG stream + key/mouse "
+        "commands) instead of the terminal REPL",
+    )
     args = ap.parse_args(argv)
 
     from .config import Denoiser, ToneMapping, Tracer
@@ -50,6 +55,11 @@ def main(argv=None) -> int:
     if args.res:
         r = Renderer(ds=r.ds, cam=r.cam.replace(width=args.res[0], height=args.res[1]),
                      desc=r.desc, timing=True)
+
+    if args.http:
+        from .webviewer import serve
+
+        return serve(r, port=args.http)
 
     move_step = float(np.linalg.norm(np.asarray(r.ds.bounds_max[0] - r.ds.bounds_min[0]))) * 0.02 + 0.1
     tracers = [Tracer.STREAMED, Tracer.DIRECT_LIGHT, Tracer.RESTIR_DI,
