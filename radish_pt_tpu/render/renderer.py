@@ -324,9 +324,10 @@ class Renderer:
 
         s = self.settings
         st = self.state
-        if s.denoiser != Denoiser.NONE:
+        if s.denoiser != Denoiser.NONE and self.n_alloc != self.n_pixels:
             raise NotImplementedError(
-                "mesh mode shards the tracers; run denoisers single-device"
+                "mesh-mode denoising needs W*H divisible by the tile count "
+                "(the padded tail breaks the image reshape)"
             )
         if s.animate_camera:
             self._animate_camera()
@@ -375,6 +376,12 @@ class Renderer:
         else:
             raise NotImplementedError("mesh mode supports the pt/restir tracers")
         image = self.direct
+        if s.denoiser != Denoiser.NONE:
+            # denoisers are stencil chains over the row-sharded planar image:
+            # jit + GSPMD auto-partitions them (halo exchanges inserted by
+            # XLA), so the single-device code runs unchanged on the mesh —
+            # sharded output equals single-device exactly (tests/test_sharding.py)
+            image = self._apply_denoiser(image)
         self._last_image = image
 
         with self.timer.time("display"):

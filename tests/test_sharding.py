@@ -133,3 +133,43 @@ def test_restir_step_sharded_matches_single_device(cornell, cpu8):
     # seam rows may differ (rejected cross-seam candidates) but must stay
     # finite and non-negative
     assert np.isfinite(img_sh).all() and (img_sh >= 0).all()
+
+
+def test_sharded_svgf_matches_single_device(cornell, cpu8):
+    """Denoisers run on the mesh through plain jit + GSPMD auto-partitioning
+    (halo exchanges inserted by XLA) — output must equal the single-device
+    filter exactly, unlike the border-rule ReSTIR seams."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from radish_pt_tpu.render import denoise as dn
+    from radish_pt_tpu.render import gbuffer as gb
+
+    ds, cam, _ = cornell
+    cam = cam.replace(width=16, height=32)
+    n = cam.width * cam.height
+    mesh = sh.make_mesh(n_tile=8, n_sample=1, devices=cpu8)
+
+    rng = np.random.default_rng(3)
+    color = jnp.asarray(rng.uniform(0, 2, (n, 3)).astype(np.float32))
+    gbuf = jax.jit(gb.render_gbuffer)(ds, cam, cam)
+    state = dn.empty_svgf_state(n)
+
+    fn = jax.jit(dn.svgf_filter, static_argnames=("levels",))
+    out_ref, st_ref = fn(color, state, gbuf, gbuf.frame, cam,
+                         jnp.asarray(False), levels=5)
+
+    shard = NamedSharding(mesh, P("tile"))
+    put = lambda x: jax.device_put(x, shard)
+    color_s = put(color)
+    gbuf_s = jax.tree_util.tree_map(put, gbuf)
+    state_s = jax.tree_util.tree_map(put, state)
+    out_s, st_s = fn(color_s, state_s, gbuf_s, gbuf_s.frame, cam,
+                     jnp.asarray(False), levels=5)
+
+    np.testing.assert_allclose(
+        np.asarray(out_s), np.asarray(out_ref), rtol=1e-6, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_s.accum_color), np.asarray(st_ref.accum_color),
+        rtol=1e-6, atol=1e-7,
+    )
