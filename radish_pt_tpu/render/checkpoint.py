@@ -15,6 +15,7 @@ import os
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 FORMAT_VERSION = 1
@@ -36,6 +37,8 @@ def save_checkpoint(renderer, path: str) -> str:
         "gbuf_depth": np.asarray(r.gbuf_last.depth),
         "svgf_color": np.asarray(r.svgf_direct.accum_color),
         "svgf_moment": np.asarray(r.svgf_direct.accum_moment),
+        "svgf_i_color": np.asarray(r.svgf_indirect.accum_color),
+        "svgf_i_moment": np.asarray(r.svgf_indirect.accum_moment),
         "cam_position": np.asarray(r.cam.position),
         "cam_rotation": np.asarray(r.cam.rotation),
     }
@@ -83,6 +86,22 @@ def load_checkpoint(renderer, path: str) -> None:
         accum_color=jnp.asarray(data["svgf_color"]),
         accum_moment=jnp.asarray(data["svgf_moment"]),
     )
+    if "svgf_i_color" in data:  # split-SVGF history (absent in old files)
+        r.svgf_indirect = r.svgf_indirect.replace(
+            accum_color=jnp.asarray(data["svgf_i_color"]),
+            accum_moment=jnp.asarray(data["svgf_i_moment"]),
+        )
+    if r.mesh is not None:
+        # re-place restored pixel state sharded over the mesh
+        from ..parallel.sharding import shard_image
+
+        place = lambda t: jax.tree_util.tree_map(
+            lambda x: shard_image(r.mesh, x, r.cam), t
+        )
+        r.direct = place(r.direct)
+        r.indirect = place(r.indirect)
+        r.reservoir = place(r.reservoir)
+        r.gbuf_last = place(r.gbuf_last)
     from ..scene.camera import update_camera
 
     r.cam = update_camera(
