@@ -103,7 +103,7 @@ def path_trace(
     direct = ray_d * 0.0
     indirect = ray_d * 0.0
 
-    it = dsc.intersect(ds, ray_o, ray_d)
+    it = dsc.intersect_primary(ds, ray_o, ray_d)
 
     hit = it.prim_id != NULL_PRIMITIVE
     direct += jnp.where(hit[..., None], 0.0, dsc.env_radiance(ds, ray_d))
@@ -221,7 +221,7 @@ def path_trace_direct(
     sampler = rng.make_sampler(looper, idx)
 
     ray_o, ray_d, sampler = _gen_primary(ds, cam, sampler, idx)
-    it = dsc.intersect(ds, ray_o, ray_d)
+    it = dsc.intersect_primary(ds, ray_o, ray_d)
     hit = it.prim_id != NULL_PRIMITIVE
 
     direct = jnp.where(hit[..., None], 0.0, dsc.env_radiance(ds, ray_d))

@@ -321,7 +321,7 @@ def restir_direct(
     table = ds.sobol
 
     ray_o, ray_d, sampler = _gen_primary(ds, cam, sampler, pixel_idx=pixel_idx)
-    it = dsc.intersect(ds, ray_o, ray_d)
+    it = dsc.intersect_primary(ds, ray_o, ray_d)
     hit = it.prim_id != NULL_PRIMITIVE
 
     direct = jnp.where(hit[..., None], 0.0, dsc.env_radiance(ds, ray_d))

@@ -180,9 +180,16 @@ def build_device_scene(
 
     mats = scene.materials if scene.materials else [HostMaterial()]
 
+    sort_primaries = (
+        intersector in ("pallas_mxu", "pallas_compact")
+        and cluster_bounds is not None
+        and os.environ.get("RADISH_SORT_PRIMARIES", "1") != "0"
+    )
+
     ds = DeviceScene(
         intersector=intersector,
         use_bvh=use_bvh,
+        sort_primaries=sort_primaries,
         n_area_lights=n_area_lights,
         has_env=has_env,
         has_aperture=has_aperture,

@@ -56,6 +56,11 @@ class DeviceScene:
     # 'bvh' (lockstep MTBVH walk), 'brute' (XLA dense sweep, tiny scenes/CPU)
     intersector: str = struct.field(pytree_node=False, default="bvh")
     use_bvh: bool = struct.field(pytree_node=False, default=True)  # legacy alias
+    # sort PRIMARY wavefronts too: raster order leaves ~2-3x cull-coherence
+    # on the table vs the signature sort (glass 19.0 -> 12.1 row-union
+    # clusters, teapot 10.4 -> 6.2; tools/bounce_stats.py) — enabled by the
+    # scene build when a clustered pallas engine is active
+    sort_primaries: bool = struct.field(pytree_node=False, default=False)
     n_area_lights: int = struct.field(pytree_node=False, default=0)
     has_env: bool = struct.field(pytree_node=False, default=False)
     has_aperture: bool = struct.field(pytree_node=False, default=False)
@@ -461,6 +466,15 @@ def _sort_key(ds: DeviceScene, ray_o, ray_d, tmax=None):
 
     morton = spread(cell[:, 0]) * 4 + spread(cell[:, 1]) * 2 + spread(cell[:, 2])
     return (dirk << 12) | morton
+
+
+def intersect_primary(ds: DeviceScene, ray_o, ray_d) -> Interaction:
+    """Primary-wavefront intersect: signature-sorted when the scene build
+    enabled ``sort_primaries`` (raster order wastes 2-3x cull coherence —
+    see the field's comment), plain ``intersect`` otherwise."""
+    if ds.sort_primaries:
+        return intersect_sorted(ds, ray_o, ray_d)
+    return intersect(ds, ray_o, ray_d)
 
 
 def test_occlusion_sorted(ds: DeviceScene, x, y, mask=None):

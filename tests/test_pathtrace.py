@@ -125,3 +125,18 @@ def test_bvh_and_brute_render_identically(cornell):
     d1, i1 = f(ds.replace(intersector="bvh"), cam, 3, 2)
     np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), atol=2e-3)
     np.testing.assert_allclose(np.asarray(i0), np.asarray(i1), atol=2e-3)
+
+
+def test_sorted_primaries_render_identically(cornell):
+    """sort_primaries routes primary wavefronts through intersect_sorted —
+    the signature sort + unpermute must be an exact no-op on the image
+    (tools/bounce_stats.py measures the coherence win it buys on TPU)."""
+    ds, cam, _ = cornell
+    a = jax.jit(lambda ds: pt.path_trace(ds, cam, 3, 3))(
+        ds.replace(sort_primaries=False)
+    )
+    b = jax.jit(lambda ds: pt.path_trace(ds, cam, 3, 3))(
+        ds.replace(sort_primaries=True)
+    )
+    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]), atol=1e-6)
