@@ -37,7 +37,9 @@ import jax.numpy as jnp
 
 NULL_PRIMITIVE = -1
 RAY_OFFSET = 1e-5  # reference makeOffsetedRay (intersections.h:16-18)
-FLT_MAX = jnp.float32(3.402823466e38)
+# np scalar, NOT jnp: a module-level device array would initialize the XLA
+# backend at import time, breaking jax.distributed.initialize ordering
+FLT_MAX = np.float32(3.402823466e38)
 
 
 # ---------------------------------------------------------------------------
