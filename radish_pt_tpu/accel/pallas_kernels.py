@@ -763,15 +763,32 @@ def occlusion_plucker_pallas(tri_packed, x, y,
 
 
 COMPACT_MAX_LANES = 640 * 1024  # out blocks resident in VMEM: 8 B/lane
-_PER_RAY_PREPASS_MAX = 256  # clusters; above this use the row-cone prepass
+# cull-unit count the per-ray slab prepass is sized for; bigger scenes
+# COARSEN the cull unit (consecutive fine clusters merge) instead of
+# degrading to interval/cone tests.  Measured on teapot_hires (111k tris,
+# 1,738 fine clusters): a row-cone prepass flags ~650/1738 units (~120x
+# looser than exact, always overflowing any budget -> dense fallback);
+# the per-ray exact test at the same granularity flags 5.4/ray.
+_PER_RAY_PREPASS_MAX = 256
 
 
-def _row_flags(cluster_bounds, ray_o, ray_d, tmax, rows, lanes: int = 128):
-    """Conservative per-(``lanes``-ray group, sub-cluster) visit flags, bool
-    [rows, C].  Per-ray slab test OR-reduced over the group (exact union)
-    for small scenes; for C > _PER_RAY_PREPASS_MAX a group-cone test:
-    interval slab test of the group's origin box + direction box against
-    the cluster AABB — O(rows x C)."""
+def _coarsen_bounds(cluster_bounds, g: int):
+    """Merge ``g`` consecutive fine cluster AABBs into one cull-unit AABB.
+    Padding units get inverted boxes (lo=+inf, hi=-inf): the slab test can
+    never flag them."""
+    C = cluster_bounds.shape[0]
+    pad = -C % g
+    lo = jnp.pad(cluster_bounds[:, 0:3], ((0, pad), (0, 0)),
+                 constant_values=FLT_MAX).reshape(-1, g, 3).min(axis=1)
+    hi = jnp.pad(cluster_bounds[:, 3:6], ((0, pad), (0, 0)),
+                 constant_values=-FLT_MAX).reshape(-1, g, 3).max(axis=1)
+    return jnp.concatenate([lo, hi], axis=1)
+
+
+def _row_flags(cull_bounds, ray_o, ray_d, tmax, rows, lanes: int = 128):
+    """Per-(``lanes``-ray group, cull-unit) visit flags, bool [rows, C]:
+    exact per-ray slab test OR-reduced over the group (the exact union).
+    Callers keep C <= _PER_RAY_PREPASS_MAX via :func:`_coarsen_bounds`."""
     n_pad = rows * lanes
     o = jnp.pad(ray_o, ((0, n_pad - ray_o.shape[0]), (0, 0)))
     d = jnp.pad(ray_d, ((0, n_pad - ray_d.shape[0]), (0, 0)),
@@ -780,44 +797,17 @@ def _row_flags(cluster_bounds, ray_o, ray_d, tmax, rows, lanes: int = 128):
         tm = jnp.full((n_pad,), FLT_MAX)
     else:
         tm = jnp.pad(tmax, (0, n_pad - tmax.shape[0]), constant_values=-FLT_MAX)
-    C = cluster_bounds.shape[0]
-    if C <= _PER_RAY_PREPASS_MAX:
-        inv = 1.0 / jnp.where(jnp.abs(d) > 1e-12, d, 1e-12)
-        tn = jnp.full((n_pad, C), -FLT_MAX)
-        tf = jnp.full((n_pad, C), FLT_MAX)
-        for k in range(3):
-            a = (cluster_bounds[None, :, k] - o[:, k, None]) * inv[:, k, None]
-            b = (cluster_bounds[None, :, 3 + k] - o[:, k, None]) * inv[:, k, None]
-            tn = jnp.maximum(tn, jnp.minimum(a, b))
-            tf = jnp.minimum(tf, jnp.maximum(a, b))
-        hit = (tf >= jnp.maximum(tn, 0.0)) & (tn < tm[:, None])
-        return hit.reshape(rows, lanes, C).any(axis=1)
-
-    # row-cone prepass: bound the row's origins and directions by intervals
-    ro = o.reshape(rows, lanes, 3)
-    rd = d.reshape(rows, lanes, 3)
-    rtm = tm.reshape(rows, lanes)
-    live = rtm[..., None] > 0.0  # dead lanes (tmax=-inf) leave the cone
-    big = jnp.where(live, ro, -FLT_MAX)
-    o_max = big.max(axis=1)
-    o_min = jnp.where(live, ro, FLT_MAX).min(axis=1)
-    d_min = jnp.where(live, rd, FLT_MAX).min(axis=1)
-    d_max = jnp.where(live, rd, -FLT_MAX).max(axis=1)
-    any_live = live.any(axis=1)[:, 0]
-    t_hi = jnp.where(rtm > 0.0, rtm, 0.0).max(axis=1)  # row's largest tmax
-
-    # interval slab test: cluster [lo, hi] vs segment x(t) = O + t*D,
-    # t in [0, t_hi], with O and D interval boxes.  Component k reachable
-    # interval: [o_min + t*min(d_min,0)... ] — conservative interval
-    # arithmetic on the reachable set R_k = O_k + [0,t_hi] * D_k.
-    ok = jnp.ones((rows, C), bool)
+    C = cull_bounds.shape[0]
+    inv = 1.0 / jnp.where(jnp.abs(d) > 1e-12, d, 1e-12)
+    tn = jnp.full((n_pad, C), -FLT_MAX)
+    tf = jnp.full((n_pad, C), FLT_MAX)
     for k in range(3):
-        lo_r = o_min[:, k] + jnp.minimum(d_min[:, k], 0.0) * t_hi
-        hi_r = o_max[:, k] + jnp.maximum(d_max[:, k], 0.0) * t_hi
-        ok &= (cluster_bounds[None, :, 3 + k] >= lo_r[:, None]) & (
-            cluster_bounds[None, :, k] <= hi_r[:, None]
-        )
-    return ok & any_live[:, None]
+        a = (cull_bounds[None, :, k] - o[:, k, None]) * inv[:, k, None]
+        b = (cull_bounds[None, :, 3 + k] - o[:, k, None]) * inv[:, k, None]
+        tn = jnp.maximum(tn, jnp.minimum(a, b))
+        tf = jnp.minimum(tf, jnp.maximum(a, b))
+    hit = (tf >= jnp.maximum(tn, 0.0)) & (tn < tm[:, None])
+    return hit.reshape(rows, lanes, C).any(axis=1)
 
 
 def _work_list(flags, w_max: int):
@@ -1004,7 +994,18 @@ def intersect_plucker_compact(
     num_tris = tri_packed.shape[0]
     if bf16x3 is None:
         bf16x3 = num_tris <= PLUCKER_BF16X3_MAX_TRIS
-    sub = CLUSTER_SUB
+    # big scenes: coarsen the cull unit (g fine clusters -> one work item)
+    # so the per-ray exact prepass stays <= _PER_RAY_PREPASS_MAX columns;
+    # each grid step then sweeps g*CLUSTER_SUB triangles in one MXU op
+    C_fine = cluster_bounds.shape[0]
+    g = -(-C_fine // _PER_RAY_PREPASS_MAX)
+    sub = CLUSTER_SUB * g
+    cull_bounds = (cluster_bounds if g == 1
+                   else _coarsen_bounds(cluster_bounds, g))
+    if g > 1:
+        # coarse units are a larger fraction of the scene per row; give the
+        # list headroom so real scenes don't trip the dense fallback
+        work_per_row = max(work_per_row, 40)
     t_pad = -(-num_tris // sub) * sub
     n_pad = -(-n // RAY_BLOCK) * RAY_BLOCK
     rows = n_pad // 128
@@ -1022,9 +1023,9 @@ def intersect_plucker_compact(
 
     assert rows % group == 0  # RAY_BLOCK = 8 rows; group in {1, 2, 4, 8}
     rowblks = rows // group
-    flags = _row_flags(cluster_bounds, ray_o, ray_d, tmax, rowblks,
+    flags = _row_flags(cull_bounds, ray_o, ray_d, tmax, rowblks,
                        lanes=group * 128)
-    w_max = min(rowblks * work_per_row, rowblks * cluster_bounds.shape[0])
+    w_max = min(rowblks * work_per_row, rowblks * cull_bounds.shape[0])
     wrow, wsub, count = _work_list(flags, w_max)
 
     o = ray_o - center
@@ -1114,7 +1115,16 @@ def occlusion_plucker_compact(
     num_tris = tri_packed.shape[0]
     if bf16x3 is None:
         bf16x3 = num_tris <= PLUCKER_BF16X3_MAX_TRIS
-    sub = CLUSTER_SUB
+    # coarsened cull units for big scenes — see intersect_plucker_compact
+    C_fine = cluster_bounds.shape[0]
+    g = -(-C_fine // _PER_RAY_PREPASS_MAX)
+    sub = CLUSTER_SUB * g
+    cull_bounds = (cluster_bounds if g == 1
+                   else _coarsen_bounds(cluster_bounds, g))
+    if g > 1:
+        # coarse units are a larger fraction of the scene per row; give the
+        # list headroom so real scenes don't trip the dense fallback
+        work_per_row = max(work_per_row, 40)
     t_pad = -(-num_tris // sub) * sub
     n_pad = -(-n // RAY_BLOCK) * RAY_BLOCK
     rows = n_pad // 128
@@ -1132,9 +1142,9 @@ def occlusion_plucker_compact(
 
     assert rows % group == 0
     rowblks = rows // group
-    flags = _row_flags(cluster_bounds, ray_o, ray_d, max_dist, rowblks,
+    flags = _row_flags(cull_bounds, ray_o, ray_d, max_dist, rowblks,
                        lanes=group * 128)
-    w_max = min(rowblks * work_per_row, rowblks * cluster_bounds.shape[0])
+    w_max = min(rowblks * work_per_row, rowblks * cull_bounds.shape[0])
     wrow, wsub, count = _work_list(flags, w_max)
 
     o = ray_o - center

@@ -396,8 +396,11 @@ def intersect_sorted(ds: DeviceScene, ray_o, ray_d, active=None) -> Interaction:
 
 
 _DEAD_KEY_BIT = 1 << 24  # above all live sort-key bits
-# above this cluster count the [N, C] signature prepass outweighs its
-# culling benefit; fall back to the geometric (direction, Morton) key
+# the signature prepass is an [N, C] slab test; big scenes COARSEN the key
+# clusters (repeated pairing) to stay under this bound instead of falling
+# back to the geometric key — at 111k tris the geometric key's row-union
+# is 54 clusters vs a 5.4 per-ray floor because pinhole primaries collapse
+# to ONE (octant, origin-cell) bucket (tools/bounce_stats.py)
 _SIGNATURE_MAX_CLUSTERS = 256
 
 
@@ -420,7 +423,13 @@ def _sort_key(ds: DeviceScene, ray_o, ray_d, tmax=None):
     identical (teapot 7.36 vs 7.37 clusters/row; tools/cull_stats.py) at
     half the [N, C] slab-prepass cost."""
     cb = ds.cluster_bounds
-    if cb.shape[0] > 1:
+    # pair-reduce (64-tri clusters -> 128-tri super-clusters -> ...) until
+    # the [N, C] signature prepass is affordable; measured cull quality is
+    # insensitive to one pairing (BASELINE.md) and big scenes keep a usable
+    # signature instead of the degenerate geometric key
+    while cb.shape[0] > 1 and (
+        cb.shape[0] > _SIGNATURE_MAX_CLUSTERS or cb is ds.cluster_bounds
+    ):
         pad = cb.shape[0] % 2
         cbp = jnp.pad(cb, ((0, pad), (0, 0)),
                       mode="edge") if pad else cb
