@@ -84,6 +84,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", default=None, help="resume from a checkpoint")
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans (traps NaNs in kernels)")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the render loop "
+                   "(view with xprof/tensorboard)")
     return p
 
 
@@ -166,18 +169,29 @@ def main(argv=None) -> int:
 
     spp = args.spp or r.state.iterations
     print(f"[rendering {spp} spp, tracer={args.tracer}, depth={s.trace_depth}]")
+
+    import contextlib
+
+    profile_cm = contextlib.nullcontext()
+    if args.profile:
+        import jax
+
+        profile_cm = jax.profiler.trace(args.profile)
+        print(f"[profiling -> {args.profile}]")
+
     t0 = time.time()
-    if args.batch_spp > 1 and args.tracer in ("pt", "restir"):
-        r.render_batched(spp, block=args.batch_spp)
-    else:
-        for i in range(spp):
-            r.step()
-            if args.preview_every and (i + 1) % args.preview_every == 0:
-                p = r.save(f"{r.state.image_name}_preview_{i + 1}.png")
-                print(f"  [{i + 1}/{spp}] preview -> {p}")
-            elif (i + 1) % 16 == 0 or i == 0:
-                dt = time.time() - t0
-                print(f"  [{i + 1}/{spp} spp, {dt / (i + 1) * 1e3:.1f} ms/frame avg]")
+    with profile_cm:
+        if args.batch_spp > 1 and args.tracer in ("pt", "restir"):
+            r.render_batched(spp, block=args.batch_spp)
+        else:
+            for i in range(spp):
+                r.step()
+                if args.preview_every and (i + 1) % args.preview_every == 0:
+                    p = r.save(f"{r.state.image_name}_preview_{i + 1}.png")
+                    print(f"  [{i + 1}/{spp}] preview -> {p}")
+                elif (i + 1) % 16 == 0 or i == 0:
+                    dt = time.time() - t0
+                    print(f"  [{i + 1}/{spp} spp, {dt / (i + 1) * 1e3:.1f} ms/frame avg]")
     total = time.time() - t0
     print(f"[done: {total:.2f}s total, {total / spp * 1e3:.2f} ms/frame]")
     if args.checkpoint:
