@@ -70,7 +70,7 @@ def bench(quick: bool = False, verbose: bool = True):
             print(msg, file=sys.stderr)
 
     scenes = [("cornell", os.path.join(REPO, "scenes", "cornell_box.txt"))]
-    for extra in ("teapot", "glass", "teapot_hires"):
+    for extra in ("teapot", "glass", "many_light", "teapot_hires"):
         path = os.path.join(REPO, "scenes", f"{extra}.txt")
         if os.path.exists(path):
             scenes.append((extra, path))
