@@ -32,7 +32,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..render import pathtrace as pt
 from ..scene import camera as cam_mod
 from ..scene import device_scene as dsc
-from ..utils import math as m
 
 
 def make_mesh(n_tile: int | None = None, n_sample: int = 1, devices=None) -> Mesh:

@@ -23,7 +23,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..config import Denoiser, ReservoirReuse, RenderState, Settings, ToneMapping, Tracer
+from ..config import Denoiser, RenderState, Settings, Tracer
 from ..sampling.sobol import SOBOL_SAMPLE_NUM
 from ..scene import camera as cam_mod
 from ..scene.build import load_scene
