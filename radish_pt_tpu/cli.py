@@ -51,6 +51,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
         help="ReSTIR reservoir reuse mode",
     )
     p.add_argument(
+        "--sigmas", type=float, nargs=3, metavar=("DEPTH", "NORMAL", "LUM"),
+        default=None,
+        help="filter sigmas for the active denoiser (the reference GUI's "
+        "live sliders, preview.cpp:261-267)",
+    )
+    p.add_argument(
         "--tonemap", choices=["none", "filmic", "aces"], default="aces"
     )
     p.add_argument("--out", default=None, help="output image path")
@@ -161,6 +167,11 @@ def main(argv=None) -> int:
     s.gbuffer_view = args.gbuffer_view
     s.denoiser_split = not args.no_denoiser_split
     s.encode_normal = args.encode_normal
+    if args.sigmas:
+        if s.denoiser == Denoiser.EA_WAVELET:
+            s.eaw_sig_depth, s.eaw_sig_normal, s.eaw_sig_luminance = args.sigmas
+        else:
+            s.svgf_sig_depth, s.svgf_sig_normal, s.svgf_sig_luminance = args.sigmas
     if args.depth is not None:
         s.trace_depth = args.depth
     if args.resume:

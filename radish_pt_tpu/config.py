@@ -71,6 +71,15 @@ class Settings:
     denoiser_split: bool = True  # DENOISER_SPLIT_DIRECT_INDIRECT (common.h:10)
     encode_normal: bool = False  # DENOISER_ENCODE_NORMAL (common.h:15)
     svgf_levels: int = 5
+    # filter sigmas, live-tunable in the reference GUI (preview.cpp:261-267);
+    # defaults match the reference creates: EAW 64/.2/1 (denoiser.cu:413),
+    # SVGF 4/128/1 (denoiser.cu:438)
+    eaw_sig_depth: float = 64.0
+    eaw_sig_normal: float = 0.2
+    eaw_sig_luminance: float = 1.0
+    svgf_sig_depth: float = 4.0
+    svgf_sig_normal: float = 128.0
+    svgf_sig_luminance: float = 1.0
 
     # debug
     check_nans: bool = False

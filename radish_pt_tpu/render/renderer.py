@@ -416,14 +416,17 @@ class Renderer:
             and s.denoiser == Denoiser.SVGF
             and s.denoiser_split
         ):
-            def run_split(direct, indirect, sd, si, gbuf, gbuf_last, cam, first):
+            def run_split(direct, indirect, sd, si, gbuf, gbuf_last, cam,
+                          first, sigmas):
                 out_d, sd = dn.svgf_filter(
                     direct, sd, gbuf, gbuf_last, cam, first,
-                    levels=s.svgf_levels,
+                    levels=s.svgf_levels, sig_depth=sigmas[0],
+                    sig_normal=sigmas[1], sig_luminance=sigmas[2],
                 )
                 out_i, si = dn.svgf_filter(
                     indirect, si, gbuf, gbuf_last, cam, first,
-                    levels=s.svgf_levels,
+                    levels=s.svgf_levels, sig_depth=sigmas[0],
+                    sig_normal=sigmas[1], sig_luminance=sigmas[2],
                 )
                 return post.add_image(out_d, out_i), sd, si
 
@@ -435,7 +438,7 @@ class Renderer:
                 out, self.svgf_direct, self.svgf_indirect = fn(
                     image, indirect, self.svgf_direct, self.svgf_indirect,
                     self.gbuf, self.gbuf_last, self.cam,
-                    jnp.asarray(self.first_frame),
+                    jnp.asarray(self.first_frame), self._svgf_sigmas(),
                 )
             if s.modulate:
                 out = post.modulate_albedo(out, self.gbuf.albedo)
@@ -456,29 +459,52 @@ class Renderer:
             with self.timer.time("denoise"):
                 return fn(image)
         if s.denoiser == Denoiser.EA_WAVELET:
-            fn = self._get(
-                "eaw", lambda: jax.jit(dn.leveled_eaw_filter, static_argnames=())
-            )
+            def run_eaw(image, frame, cam, sigmas):
+                return dn.leveled_eaw_filter(
+                    image, frame, cam, sig_depth=sigmas[0],
+                    sig_normal=sigmas[1], sig_luminance=sigmas[2],
+                )
+
+            fn = self._get("eaw", lambda: jax.jit(run_eaw))
             with self.timer.time("denoise"):
-                out = fn(image, self.gbuf.frame, self.cam)
+                out = fn(
+                    image, self.gbuf.frame, self.cam,
+                    jnp.asarray([s.eaw_sig_depth, s.eaw_sig_normal,
+                                 s.eaw_sig_luminance], jnp.float32),
+                )
             if s.modulate:
                 out = post.modulate_albedo(out, self.gbuf.albedo)
             return out
         if s.denoiser == Denoiser.SVGF:
+            def run_svgf(image, sd, gbuf, gbuf_last, cam, first, sigmas):
+                return dn.svgf_filter(
+                    image, sd, gbuf, gbuf_last, cam, first,
+                    levels=s.svgf_levels, sig_depth=sigmas[0],
+                    sig_normal=sigmas[1], sig_luminance=sigmas[2],
+                )
+
             fn = self._get(
-                ("svgf", s.svgf_levels),
-                lambda: jax.jit(dn.svgf_filter, static_argnames=("levels",)),
+                ("svgf", s.svgf_levels), lambda: jax.jit(run_svgf)
             )
             with self.timer.time("denoise"):
                 out, self.svgf_direct = fn(
                     image, self.svgf_direct, self.gbuf, self.gbuf_last,
                     self.cam, jnp.asarray(self.first_frame),
-                    levels=s.svgf_levels,
+                    self._svgf_sigmas(),
                 )
             if s.modulate:
                 out = post.modulate_albedo(out, self.gbuf.albedo)
             return out
         return image
+
+    def _svgf_sigmas(self):
+        """SVGF sigmas as a traced vector — live-tunable like the reference
+        GUI sliders (preview.cpp:261-267) without recompiling."""
+        s = self.settings
+        return jnp.asarray(
+            [s.svgf_sig_depth, s.svgf_sig_normal, s.svgf_sig_luminance],
+            jnp.float32,
+        )
 
     def _gbuffer_view(self):
         """G-buffer debug views — the reference GUI's Albedo/Normal/Depth/

@@ -44,12 +44,12 @@ body { background:#111; color:#ddd; font:13px monospace; margin:0;
 <div id="stats"></div>
 <div id="help">drag: orbit &middot; wheel: dolly &middot; wasdqe: move
 &middot; hjkl: yaw/pitch &middot; t/n/m/g: tracer/denoiser/tonemap/gview
-&middot; r: reset &middot; p: save png</div>
+&middot; [/]: luminance sigma &middot; r: reset &middot; p: save png</div>
 <script>
 const send = (path, body) => fetch(path, {method:'POST',
   headers:{'Content-Type':'application/json'}, body:JSON.stringify(body)});
 addEventListener('keydown', e => {
-  if ('wsadqehjkltnmgrp'.includes(e.key)) send('/key', {key:e.key});
+  if ('wsadqehjkltnmgrp[]'.includes(e.key)) send('/key', {key:e.key});
 });
 const view = document.getElementById('view');
 let drag = null;
@@ -243,6 +243,13 @@ def serve(r, port: int = 8000, spp_per_frame: int = 1, quality: int = 85):
         elif key == "g":
             s.gbuffer_view = gviews[
                 (gviews.index(s.gbuffer_view) + 1) % len(gviews)]
+        elif key in "[]":
+            # luminance-sigma slider analogue (preview.cpp:261-267)
+            f = 0.8 if key == "[" else 1.25
+            if s.denoiser == Denoiser.EA_WAVELET:
+                s.eaw_sig_luminance *= f
+            else:
+                s.svgf_sig_luminance *= f
         elif key == "r":
             r.reset_accumulation()
         elif key == "p":

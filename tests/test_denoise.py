@@ -239,3 +239,27 @@ def test_svgf_filter_runs_and_reduces_noise():
     assert np.isfinite(out).all()
     assert out.std() < np.asarray(noisy).std() * 0.6
     assert new_state.accum_color.shape == (N, 3)
+
+
+def test_sigma_settings_flow_through(cornell):
+    """Settings sigmas reach the filters as traced values (the reference
+    GUI's live sliders, preview.cpp:261-267): changing a sigma changes the
+    output WITHOUT rebuilding the jitted fn."""
+    from radish_pt_tpu.config import Denoiser, Settings, Tracer
+    from radish_pt_tpu.render.renderer import Renderer
+
+    ds, cam, _ = cornell
+    for den in (Denoiser.EA_WAVELET, Denoiser.SVGF):
+        r = Renderer(ds=ds, cam=cam, desc=None,
+                     settings=Settings(tracer=Tracer.DIRECT_LIGHT,
+                                       denoiser=den))
+        out1 = r.step()
+        n_fns = len(r._fns)
+        if den == Denoiser.EA_WAVELET:
+            r.settings.eaw_sig_luminance = 0.01
+        else:
+            r.settings.svgf_sig_luminance = 0.01
+        r.reset_accumulation()
+        out2 = r.step()
+        assert len(r._fns) == n_fns  # traced sigmas: no new compilation key
+        assert np.asarray(out1).shape == np.asarray(out2).shape
