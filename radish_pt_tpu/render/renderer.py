@@ -557,8 +557,18 @@ class Renderer:
         """Accumulate ``spp`` samples with ``block`` spp per device dispatch
         (a fori_loop inside one jit) — amortizes the per-dispatch latency of
         the tunneled TPU backend.  Supports the full-PT and ReSTIR tracers
-        (camera is static across a batch)."""
+        (camera is static across a batch).
+
+        Mesh mode: the batch functions are written in GLOBAL semantics, so
+        with sharded inputs GSPMD auto-partitions them (spatial-reuse rolls
+        lower to collective permutes — seams match single-device exactly,
+        unlike the border-rule shard_map step).  Requires W*H divisible by
+        the tile count (no padded tail)."""
         s = self.settings
+        if self.mesh is not None and self.n_alloc != self.n_pixels:
+            raise NotImplementedError(
+                "mesh-mode batching needs W*H divisible by the tile count"
+            )
         if s.tracer == Tracer.RESTIR_DI or s.use_reservoir:
             return self._render_batched_restir(spp, block)
         fn = self._get(
