@@ -140,3 +140,28 @@ def test_sorted_primaries_render_identically(cornell):
     )
     np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]), atol=1e-6)
     np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]), atol=1e-6)
+
+
+def test_debug_tracers_render(cornell):
+    """BVH heatmap + G-buffer preview tracers (the reference GUI debug
+    combos, preview.cpp:254-276) produce finite, non-constant images."""
+    from radish_pt_tpu.config import Settings, Tracer
+    from radish_pt_tpu.render.renderer import Renderer
+
+    ds, cam, _ = cornell
+    for tracer, view in [
+        (Tracer.BVH_VISUALIZE, None),
+        (Tracer.GBUFFER_PREVIEW, "albedo"),
+        (Tracer.GBUFFER_PREVIEW, "normal"),
+        (Tracer.GBUFFER_PREVIEW, "depth"),
+        (Tracer.GBUFFER_PREVIEW, "motion"),
+    ]:
+        s = Settings(tracer=tracer)
+        if view:
+            s.gbuffer_view = view
+        r = Renderer(ds=ds, cam=cam, desc=None, settings=s)
+        img = r.step()
+        assert img.shape == (cam.height, cam.width, 3)
+        assert np.isfinite(img).all()
+        if view != "motion":  # static camera: motion image may be uniform
+            assert img.std() > 0  # structure, not a constant fill
