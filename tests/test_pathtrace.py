@@ -165,3 +165,19 @@ def test_debug_tracers_render(cornell):
         assert np.isfinite(img).all()
         if view != "motion":  # static camera: motion image may be uniform
             assert img.std() > 0  # structure, not a constant fill
+
+
+def test_odd_resolution_renders(cornell):
+    """Non-tile-aligned resolutions (not multiples of 128/1024 lanes) must
+    render through padding on every path."""
+    from radish_pt_tpu.config import Settings, Tracer
+    from radish_pt_tpu.render.renderer import Renderer
+
+    ds, cam, _ = cornell
+    cam = cam.replace(width=37, height=29)
+    for tracer in (Tracer.STREAMED, Tracer.RESTIR_DI, Tracer.DIRECT_LIGHT):
+        r = Renderer(ds=ds, cam=cam, desc=None,
+                     settings=Settings(tracer=tracer, trace_depth=2))
+        img = r.step()
+        assert img.shape == (29, 37, 3)
+        assert np.isfinite(img).all()
