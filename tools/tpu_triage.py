@@ -48,8 +48,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="256^2, fewer iters")
     ap.add_argument("--skip-scenes", action="store_true")
+    ap.add_argument("--res", type=int, default=None, help="override resolution")
     args = ap.parse_args()
-    res = 256 if args.quick else 800
+    res = args.res or (256 if args.quick else 800)
     n_iter = 2 if args.quick else 4
 
     from functools import partial
