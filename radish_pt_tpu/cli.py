@@ -191,6 +191,10 @@ def main(argv=None) -> int:
         print(f"[profiling -> {args.profile}]")
 
     t0 = time.time()
+    if args.batch_spp > 1 and args.denoiser != "none":
+        print("[--batch-spp renders without the denoiser; using the "
+              "per-frame loop so denoising applies]")
+        args.batch_spp = 0
     with profile_cm:
         if args.batch_spp > 1 and args.tracer in ("pt", "restir"):
             r.render_batched(spp, block=args.batch_spp)
