@@ -359,3 +359,148 @@ def svgf_filter(
             history = color  # denoiser.cu:533 swap
     new_state = SVGFState(accum_color=_flat(history), accum_moment=moment_accum)
     return _flat(color), new_state
+
+
+def svgf_filter_pair(
+    color_d,
+    color_i,
+    state_d: SVGFState,
+    state_i: SVGFState,
+    gbuf: GBufferOut,
+    last_frame: GBufferFrame,
+    cam: cam_mod.Camera,
+    first_time: bool,
+    levels: int = 5,
+    sig_depth: float = 4.0,
+    sig_normal: float = 128.0,
+    sig_luminance: float = 1.0,
+):
+    """Two SVGF instances (direct + indirect, DENOISER_SPLIT_DIRECT_INDIRECT)
+    fused into one pass — numerically identical to two :func:`svgf_filter`
+    calls, but the expensive shared work is computed ONCE:
+
+    * one packed [N, 16] temporal motion gather carries BOTH histories
+      (gather cost is per row, utils/gather.py);
+    * disocclusion flags depend only on geometry — shared;
+    * per-tap depth (exp) and normal (pow) wavelet weights are
+      image-independent (denoiser.cu:123-141) — shared across the pair,
+      only the luminance weight is per-image.
+
+    Returns (out_d, out_i, new_state_d, new_state_i).
+    """
+    h, w = cam.height, cam.width
+    alpha = 0.2
+    cur = gbuf.frame
+    last_idx = jnp.maximum(gbuf.motion, 0)
+    packed = jnp.concatenate(
+        [
+            state_d.accum_color, state_d.accum_moment,
+            state_i.accum_color, state_i.accum_moment,
+            decoded_normal(last_frame),
+            last_frame.prim_id.astype(jnp.float32)[:, None],
+        ],
+        axis=1,
+    )[last_idx]
+
+    diff = jnp.broadcast_to(jnp.asarray(first_time, bool), color_d.shape[:1])
+    diff = diff | (gbuf.motion < 0)
+    diff |= cur.prim_id <= NULL_PRIMITIVE
+    diff |= packed[:, 15].astype(jnp.int32) != cur.prim_id
+    diff |= m.abs_dot(decoded_normal(cur), packed[:, 12:15]) < 0.1
+
+    def blend(color_in, last_color, last_moment):
+        lum = m.luminance(color_in)
+        blend_color = last_color + (color_in - last_color) * alpha
+        blend_m1 = last_moment[..., 0] * (1 - alpha) + lum * alpha
+        blend_m2 = last_moment[..., 1] * (1 - alpha) + lum * lum * alpha
+        hist = last_moment[..., 2] + 1.0
+        color_accum = jnp.where(diff[..., None], color_in, blend_color)
+        moment_accum = jnp.where(
+            diff[..., None],
+            jnp.stack([lum, lum * lum, jnp.zeros_like(lum)], axis=-1),
+            jnp.stack([blend_m1, blend_m2, hist], axis=-1),
+        )
+        return color_accum, moment_accum
+
+    cd_acc, md_acc = blend(color_d, packed[:, 0:3], packed[:, 3:6])
+    ci_acc, mi_acc = blend(color_i, packed[:, 6:9], packed[:, 9:12])
+
+    frame = gbuf.frame
+    idx = jnp.arange(h * w, dtype=jnp.int32)
+    pos = _planar(camera_get_position(cam, idx % w, idx // w, frame.depth), h, w)
+    normal = _planar(decoded_normal(frame), h, w)
+    prim = frame.prim_id.reshape(h, w)
+    keep = prim <= NULL_PRIMITIVE
+
+    chans = []
+    for c_acc, m_acc in ((cd_acc, md_acc), (ci_acc, mi_acc)):
+        chans.append({
+            "color": _planar(c_acc, h, w),
+            "var": estimate_variance(m_acc, w, h).reshape(h, w),
+            "moment": m_acc,
+            "history": None,
+        })
+
+    eps = 1.1920929e-07
+    for level in range(levels):
+        step = 1 << level
+        for ch in chans:
+            ch["var_f"] = filter_variance(
+                ch["var"].reshape(-1), w, h
+            ).reshape(h, w)
+            ch["lum_p"] = _lum(ch["color"])
+            ch["denom"] = (
+                sig_luminance * jnp.sqrt(jnp.maximum(ch["var_f"], 0.0)) + 1e-4
+            )
+            ch["c_acc"] = jnp.zeros_like(ch["color"])
+            ch["v_acc"] = jnp.zeros_like(ch["var"])
+            ch["wsum"] = jnp.zeros((h, w), jnp.float32)
+            ch["w2sum"] = jnp.zeros((h, w), jnp.float32)
+        for i in range(-2, 3):
+            for j in range(-2, 3):
+                dy, dx = i * step, j * step
+                valid = _shift_mask(h, w, dy, dx)
+                nq = _shift(normal, dy, dx)
+                pq = _shift(pos, dy, dx)
+                # geometry weights: shared by both filters
+                dp2 = jnp.sum((pos - pq) ** 2, axis=0)
+                w_p = jnp.exp(-dp2 / (sig_depth + 1e-4))
+                w_n = jnp.power(
+                    jnp.maximum(jnp.sum(normal * nq, axis=0), 0.0), sig_normal
+                ) + 1e-4
+                w_geo = jnp.where(
+                    valid, w_n * w_p * GAUSSIAN_5X5[i + 2, j + 2], 0.0
+                )
+                for ch in chans:
+                    cq = _shift(ch["color"], dy, dx)
+                    vq = _shift(ch["var"], dy, dx)
+                    w_c = jnp.exp(
+                        -jnp.abs(ch["lum_p"] - _lum(cq)) / ch["denom"]
+                    ) + 1e-4
+                    wt = w_c * w_geo
+                    ch["c_acc"] += cq * wt[None]
+                    ch["v_acc"] += vq * wt * wt
+                    ch["wsum"] += wt
+                    ch["w2sum"] += wt * wt
+        for ch in chans:
+            out_c = jnp.where(
+                ch["wsum"][None] >= eps,
+                ch["c_acc"] / jnp.maximum(ch["wsum"], 1e-12)[None],
+                ch["color"],
+            )
+            out_v = jnp.where(
+                ch["w2sum"] >= eps,
+                ch["v_acc"] / jnp.maximum(ch["w2sum"], 1e-12),
+                ch["var"],
+            )
+            ch["color"] = jnp.where(keep[None], ch["color"], out_c)
+            ch["var"] = jnp.where(keep, ch["var"], out_v)
+            if level == 0:
+                ch["history"] = ch["color"]  # denoiser.cu:533 swap
+
+    out = []
+    for ch in chans:
+        out.append(_flat(ch["color"]))
+        out.append(SVGFState(accum_color=_flat(ch["history"]),
+                             accum_moment=ch["moment"]))
+    return out[0], out[2], out[1], out[3]

@@ -418,13 +418,9 @@ class Renderer:
         ):
             def run_split(direct, indirect, sd, si, gbuf, gbuf_last, cam,
                           first, sigmas):
-                out_d, sd = dn.svgf_filter(
-                    direct, sd, gbuf, gbuf_last, cam, first,
-                    levels=s.svgf_levels, sig_depth=sigmas[0],
-                    sig_normal=sigmas[1], sig_luminance=sigmas[2],
-                )
-                out_i, si = dn.svgf_filter(
-                    indirect, si, gbuf, gbuf_last, cam, first,
+                # fused pair: one temporal gather + shared geometry weights
+                out_d, out_i, sd, si = dn.svgf_filter_pair(
+                    direct, indirect, sd, si, gbuf, gbuf_last, cam, first,
                     levels=s.svgf_levels, sig_depth=sigmas[0],
                     sig_normal=sigmas[1], sig_luminance=sigmas[2],
                 )

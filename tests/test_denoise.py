@@ -263,3 +263,39 @@ def test_sigma_settings_flow_through(cornell):
         out2 = r.step()
         assert len(r._fns) == n_fns  # traced sigmas: no new compilation key
         assert np.asarray(out1).shape == np.asarray(out2).shape
+
+
+def test_svgf_pair_matches_two_filters(cornell):
+    """svgf_filter_pair (fused split: shared gather + geometry weights)
+    must be numerically equivalent to two independent svgf_filter calls."""
+    import jax
+
+    from radish_pt_tpu.render import gbuffer as gb
+
+    ds, cam, _ = cornell
+    n = cam.width * cam.height
+    rng = np.random.default_rng(11)
+    cd = jnp.asarray(rng.uniform(0, 2, (n, 3)).astype(np.float32))
+    ci = jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32))
+    gbuf = jax.jit(gb.render_gbuffer)(ds, cam, cam)
+    sd = dn.empty_svgf_state(n)
+    si = dn.empty_svgf_state(n).replace(
+        accum_color=jnp.full((n, 3), 0.25))
+
+    od0, sd0 = dn.svgf_filter(cd, sd, gbuf, gbuf.frame, cam,
+                              jnp.asarray(False))
+    oi0, si0 = dn.svgf_filter(ci, si, gbuf, gbuf.frame, cam,
+                              jnp.asarray(False))
+    od1, oi1, sd1, si1 = dn.svgf_filter_pair(
+        cd, ci, sd, si, gbuf, gbuf.frame, cam, jnp.asarray(False))
+
+    np.testing.assert_allclose(np.asarray(od1), np.asarray(od0),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(oi1), np.asarray(oi0),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sd1.accum_color),
+                               np.asarray(sd0.accum_color),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(si1.accum_moment),
+                               np.asarray(si0.accum_moment),
+                               rtol=1e-5, atol=1e-6)
