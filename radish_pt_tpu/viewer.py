@@ -43,6 +43,10 @@ def main(argv=None) -> int:
         help="serve a browser live preview (MJPEG stream + key/mouse "
         "commands) instead of the terminal REPL",
     )
+    ap.add_argument(
+        "--mesh", default=None, metavar="TILE[xSAMPLE]",
+        help="multi-chip device mesh (see radish_pt_tpu --mesh)",
+    )
     args = ap.parse_args(argv)
 
     from .config import Denoiser, ToneMapping, Tracer
@@ -51,10 +55,18 @@ def main(argv=None) -> int:
 
     enable_persistent_cache()
 
-    r = Renderer(scene_path=args.scene, timing=True)
+    mesh = None
+    if args.mesh:
+        from .parallel.sharding import make_mesh
+
+        parts = args.mesh.lower().split("x")
+        mesh = make_mesh(n_tile=int(parts[0]),
+                         n_sample=int(parts[1]) if len(parts) > 1 else 1)
+
+    r = Renderer(scene_path=args.scene, timing=True, mesh=mesh)
     if args.res:
         r = Renderer(ds=r.ds, cam=r.cam.replace(width=args.res[0], height=args.res[1]),
-                     desc=r.desc, timing=True)
+                     desc=r.desc, timing=True, mesh=mesh)
 
     if args.http:
         from .webviewer import serve
