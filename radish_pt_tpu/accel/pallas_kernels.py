@@ -793,10 +793,14 @@ def _row_flags(cull_bounds, ray_o, ray_d, tmax, rows, lanes: int = 128):
     o = jnp.pad(ray_o, ((0, n_pad - ray_o.shape[0]), (0, 0)))
     d = jnp.pad(ray_d, ((0, n_pad - ray_d.shape[0]), (0, 0)),
                 constant_values=1.0)
+    # padding LANES always get tmax=-inf so their fake (0,0,0)->(1,1,1)
+    # rays can never flag units (they inflated the work list and could trip
+    # the dense fallback on odd-sized wavefronts)
     if tmax is None:
-        tm = jnp.full((n_pad,), FLT_MAX)
+        tm = jnp.full((ray_o.shape[0],), FLT_MAX)
     else:
-        tm = jnp.pad(tmax, (0, n_pad - tmax.shape[0]), constant_values=-FLT_MAX)
+        tm = tmax
+    tm = jnp.pad(tm, (0, n_pad - tm.shape[0]), constant_values=-FLT_MAX)
     C = cull_bounds.shape[0]
     inv = 1.0 / jnp.where(jnp.abs(d) > 1e-12, d, 1e-12)
     tn = jnp.full((n_pad, C), -FLT_MAX)
@@ -953,44 +957,14 @@ def _compact_pallas_call(kernel, w_max, sub, kdim, rows, out_shapes,
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("interpret", "bf16x3", "work_per_row", "group"),
-)
-def intersect_plucker_compact(
-    tri_packed, ray_o, ray_d,
-    tri_order=None, cluster_bounds=None, tmax=None,
-    interpret: bool = False, bf16x3: bool | None = None,
-    work_per_row: int = 24, group: int = 4,
+def _compact_prepass(
+    tri_packed, ray_o, ray_d, tri_order, cluster_bounds, tmax,
+    bf16x3, work_per_row, group, feat_pad_value,
 ):
-    """Closest hit via the compacted work-list MXU sweep.
-
-    Semantics match :func:`intersect_plucker_pallas` (positional winner ids
-    remapped through ``tri_order``; ``tmax = -inf`` lanes are dead).  Work
-    items are (``group``·128-ray row group, 64-tri sub-cluster) pairs — one
-    feature DMA + one MXU op each; larger groups amortize the ~0.45 us
-    per-step pipeline cost over more lanes at the price of coarser culling.
-    The global budget is ``work_per_row`` items per row group; if the
-    prepass flags more pairs, the whole launch falls back to the scan
-    kernel (lax.cond — both branches compiled, one executed).
-    ``cluster_bounds`` is REQUIRED (the work list is the cull)."""
-    assert cluster_bounds is not None, "compact path requires cluster bounds"
+    """Shared setup for both compact entry points: cull-unit coarsening,
+    coefficient stacking, per-ray exact row flags, work-list compaction,
+    and the ray-feature matrix."""
     n = ray_o.shape[0]
-    if n > COMPACT_MAX_LANES:
-        prims, dists = [], []
-        for lo in range(0, n, COMPACT_MAX_LANES):
-            hi = lo + COMPACT_MAX_LANES
-            p, t = intersect_plucker_compact(
-                tri_packed, ray_o[lo:hi], ray_d[lo:hi],
-                tri_order=tri_order, cluster_bounds=cluster_bounds,
-                tmax=None if tmax is None else tmax[lo:hi],
-                interpret=interpret, bf16x3=bf16x3,
-                work_per_row=work_per_row, group=group,
-            )
-            prims.append(p)
-            dists.append(t)
-        return jnp.concatenate(prims), jnp.concatenate(dists)
-
     num_tris = tri_packed.shape[0]
     if bf16x3 is None:
         bf16x3 = num_tris <= PLUCKER_BF16X3_MAX_TRIS
@@ -1033,9 +1007,68 @@ def intersect_plucker_compact(
     feats = jnp.concatenate(
         [ray_d, m, o, jnp.ones_like(o[:, :1])], axis=1
     )  # [N, 10]
-    feats = jnp.pad(feats, ((0, n_pad - n), (0, 0)), constant_values=1.0)
+    feats = jnp.pad(feats, ((0, n_pad - n), (0, 0)),
+                    constant_values=feat_pad_value)
     feats = _split_feats(feats.T, bf16x3)  # [K, N_pad]
-    kdim = 30 if bf16x3 else 10
+
+    return {
+        "tri_packed": tri_packed, "bf16x3": bf16x3, "sub": sub,
+        "rows": rows, "n_pad": n_pad, "kdim": 30 if bf16x3 else 10,
+        "coeffs": coeffs, "feats": feats,
+        "wrow": wrow, "wsub": wsub, "count": count, "w_max": w_max,
+    }
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("interpret", "bf16x3", "work_per_row", "group"),
+)
+def intersect_plucker_compact(
+    tri_packed, ray_o, ray_d,
+    tri_order=None, cluster_bounds=None, tmax=None,
+    interpret: bool = False, bf16x3: bool | None = None,
+    work_per_row: int = 24, group: int = 4,
+):
+    """Closest hit via the compacted work-list MXU sweep.
+
+    Semantics match :func:`intersect_plucker_pallas` (positional winner ids
+    remapped through ``tri_order``; ``tmax = -inf`` lanes are dead).  Work
+    items are (``group``·128-ray row group, 64-tri sub-cluster) pairs — one
+    feature DMA + one MXU op each; larger groups amortize the ~0.45 us
+    per-step pipeline cost over more lanes at the price of coarser culling.
+    The global budget is ``work_per_row`` items per row group; if the
+    prepass flags more pairs, the whole launch falls back to the scan
+    kernel (lax.cond — both branches compiled, one executed).
+    ``cluster_bounds`` is REQUIRED (the work list is the cull)."""
+    assert cluster_bounds is not None, "compact path requires cluster bounds"
+    n = ray_o.shape[0]
+    if n > COMPACT_MAX_LANES:
+        prims, dists = [], []
+        for lo in range(0, n, COMPACT_MAX_LANES):
+            hi = lo + COMPACT_MAX_LANES
+            p, t = intersect_plucker_compact(
+                tri_packed, ray_o[lo:hi], ray_d[lo:hi],
+                tri_order=tri_order, cluster_bounds=cluster_bounds,
+                tmax=None if tmax is None else tmax[lo:hi],
+                interpret=interpret, bf16x3=bf16x3,
+                work_per_row=work_per_row, group=group,
+            )
+            prims.append(p)
+            dists.append(t)
+        return jnp.concatenate(prims), jnp.concatenate(dists)
+
+    pp = _compact_prepass(
+        tri_packed, ray_o, ray_d, tri_order, cluster_bounds, tmax,
+        bf16x3, work_per_row, group, feat_pad_value=1.0,
+    )
+    tri_packed = pp["tri_packed"]
+    bf16x3 = pp["bf16x3"]
+    sub = pp["sub"]
+    rows = pp["rows"]
+    n_pad = pp["n_pad"]
+    kdim = pp["kdim"]
+    coeffs, feats = pp["coeffs"], pp["feats"]
+    wrow, wsub, count, w_max = pp["wrow"], pp["wsub"], pp["count"], pp["w_max"]
 
     row_shape = (rows, 128)
 
@@ -1112,49 +1145,18 @@ def occlusion_plucker_compact(
     ray_d = dirn
 
     n = ray_o.shape[0]
-    num_tris = tri_packed.shape[0]
-    if bf16x3 is None:
-        bf16x3 = num_tris <= PLUCKER_BF16X3_MAX_TRIS
-    # coarsened cull units for big scenes — see intersect_plucker_compact
-    C_fine = cluster_bounds.shape[0]
-    g = -(-C_fine // _PER_RAY_PREPASS_MAX)
-    sub = CLUSTER_SUB * g
-    cull_bounds = (cluster_bounds if g == 1
-                   else _coarsen_bounds(cluster_bounds, g))
-    if g > 1:
-        # coarse units are a larger fraction of the scene per row; give the
-        # list headroom so real scenes don't trip the dense fallback
-        work_per_row = max(work_per_row, 40)
-    t_pad = -(-num_tris // sub) * sub
-    n_pad = -(-n // RAY_BLOCK) * RAY_BLOCK
-    rows = n_pad // 128
-
-    if tri_order is not None:
-        tri_packed = tri_packed[tri_order]
-
-    v0 = tri_packed[:, 0:3]
-    center = jax.lax.stop_gradient(0.5 * (v0.min(axis=0) + v0.max(axis=0)))
-    coeffs = _plucker_coeffs(
-        tri_packed, center, jnp.arange(num_tris, dtype=jnp.int32)
-    )[0:4]
-    coeffs = jnp.pad(coeffs, ((0, 0), (0, t_pad - num_tris), (0, 0)))
-    coeffs = _stack4(coeffs, sub, bf16x3)
-
-    assert rows % group == 0
-    rowblks = rows // group
-    flags = _row_flags(cull_bounds, ray_o, ray_d, max_dist, rowblks,
-                       lanes=group * 128)
-    w_max = min(rowblks * work_per_row, rowblks * cull_bounds.shape[0])
-    wrow, wsub, count = _work_list(flags, w_max)
-
-    o = ray_o - center
-    m = jnp.cross(o, ray_d)
-    feats = jnp.concatenate(
-        [ray_d, m, o, jnp.ones_like(o[:, :1])], axis=1
+    pp = _compact_prepass(
+        tri_packed, ray_o, ray_d, tri_order, cluster_bounds, max_dist,
+        bf16x3, work_per_row, group, feat_pad_value=0.0,
     )
-    feats = jnp.pad(feats, ((0, n_pad - n), (0, 0)))
-    feats = _split_feats(feats.T, bf16x3)
-    kdim = 30 if bf16x3 else 10
+    tri_packed = pp["tri_packed"]
+    bf16x3 = pp["bf16x3"]
+    sub = pp["sub"]
+    rows = pp["rows"]
+    n_pad = pp["n_pad"]
+    kdim = pp["kdim"]
+    coeffs, feats = pp["coeffs"], pp["feats"]
+    wrow, wsub, count, w_max = pp["wrow"], pp["wsub"], pp["count"], pp["w_max"]
     tmrow = jnp.pad(max_dist, (0, n_pad - n), constant_values=-FLT_MAX)
     tmrow = tmrow[None, :]  # [1, N_pad] f32
 

@@ -50,6 +50,9 @@ def save_checkpoint(renderer, path: str) -> str:
         "width": r.cam.width,
         "height": r.cam.height,
         "image_name": r.state.image_name,
+        # mesh-mode buffers are tile-padded; normals may be hemi-oct [N, 2]
+        "n_alloc": int(r.n_alloc),
+        "normal_dim": int(np.asarray(r.gbuf_last.normal).shape[-1]),
     }
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     np.savez_compressed(path, __meta__=json.dumps(meta), **arrays)
@@ -68,6 +71,20 @@ def load_checkpoint(renderer, path: str) -> None:
             f"renderer {renderer.cam.width}x{renderer.cam.height}"
         )
     r = renderer
+    ck_alloc = meta.get("n_alloc", data["direct"].shape[0])
+    if ck_alloc != r.n_alloc:
+        raise ValueError(
+            f"checkpoint pixel buffers are {ck_alloc} rows but this renderer "
+            f"allocates {r.n_alloc} (mesh tile padding differs — resume with "
+            f"the same --mesh tile count it was saved with)"
+        )
+    ck_ndim = meta.get("normal_dim", data["gbuf_normal"].shape[-1])
+    have_ndim = np.asarray(r.gbuf_last.normal).shape[-1]
+    if ck_ndim != have_ndim:
+        raise ValueError(
+            f"checkpoint G-buffer normals are {ck_ndim}-component but this "
+            f"renderer uses {have_ndim} (encode_normal setting differs)"
+        )
     r.direct = jnp.asarray(data["direct"])
     r.indirect = jnp.asarray(data["indirect"])
     r.reservoir = r.reservoir.replace(

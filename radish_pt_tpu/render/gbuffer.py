@@ -75,10 +75,13 @@ def render_gbuffer(
     last_cam: cam_mod.Camera,
     encode_normal: bool = False,
     pixel_idx=None,
-) -> GBufferOut:
+    extra_motion_cam=None,
+):
     """``pixel_idx`` (optional i32 [n_local] GLOBAL flat pixel indices) lets a
     shard_map caller render a row-shard of the G-buffer; motion stays a
-    global index into the last frame."""
+    global index into the last frame.  With ``extra_motion_cam`` returns
+    ``(GBufferOut, motion2)`` — a second motion field reprojected through
+    that camera (same primary hits)."""
     if pixel_idx is None:
         idx = jnp.arange(cam.width * cam.height, dtype=jnp.int32)
     else:
@@ -112,24 +115,36 @@ def render_gbuffer(
     depth = jnp.where(hit, m.length(it.pos - ray_o), 1.0)
 
     # motion: reproject hit position through LAST frame's camera
-    last_pos = cam_mod.raster_coord(last_cam, it.pos)
+    motion = _motion_index(cam, last_cam, it.pos, hit)
+
+    out = GBufferOut(
+        frame=GBufferFrame(normal=normal, prim_id=prim_id, depth=depth),
+        albedo=albedo,
+        motion=motion,
+    )
+    if extra_motion_cam is not None:
+        # second motion field against another "last" camera — used by the
+        # static-camera ReSTIR batch: frame 0 reprojects through the real
+        # last_cam, frames k>0 through the batch's own (steady) camera
+        return out, _motion_index(cam, extra_motion_cam, it.pos, hit)
+    return out
+
+
+def _motion_index(cam, last_cam, pos, hit):
+    """Flat pixel index of ``pos`` in ``last_cam``'s raster (-1 off-screen,
+    0 on miss) — gBuffer.cu:53-59."""
+    last_pos = cam_mod.raster_coord(last_cam, pos)
     in_bounds = (
         (last_pos[..., 0] >= 0)
         & (last_pos[..., 0] < cam.width)
         & (last_pos[..., 1] >= 0)
         & (last_pos[..., 1] < cam.height)
     )
-    motion = jnp.where(
+    return jnp.where(
         hit,
         jnp.where(in_bounds, last_pos[..., 1] * cam.width + last_pos[..., 0], -1),
         0,
     ).astype(jnp.int32)
-
-    return GBufferOut(
-        frame=GBufferFrame(normal=normal, prim_id=prim_id, depth=depth),
-        albedo=albedo,
-        motion=motion,
-    )
 
 
 def motion_debug_image(motion, width: int, height: int):

@@ -65,22 +65,29 @@ def _restir_batch(
 
     The camera is static across the batch, so the G-buffer is rendered ONCE
     and every in-batch frame after the first uses it as its own temporal
-    history; frame 0 consumes the caller's ``gbuf_last``/``first_frame`` so
-    a batch boundary behaves exactly like the unbatched sequence.
+    history; frame 0 consumes the caller's ``gbuf_last``/``first_frame``
+    with motion reprojected through the PRE-batch camera, while frames k>0
+    use steady-state (self-camera) motion — so a batch boundary behaves
+    exactly like the unbatched sequence even right after a camera move.
 
     Returns (direct, reservoir_out, gbuf) — gbuf becomes the caller's next
     ``gbuf_last``.
     """
-    gbuf = gb.render_gbuffer(ds, cam, last_cam, encode_normal=encode_normal)
+    gbuf, motion_ss = gb.render_gbuffer(
+        ds, cam, last_cam, encode_normal=encode_normal, extra_motion_cam=cam
+    )
 
     def body(k, carry):
         res, d_acc = carry
         last_frame = jax.tree_util.tree_map(
             lambda a, b: jnp.where(k == 0, a, b), gbuf_last, gbuf.frame
         )
+        gbuf_k = gbuf.replace(
+            motion=jnp.where(k == 0, gbuf.motion, motion_ss)
+        )
         first = jnp.asarray(first_frame, bool) & (k == 0)
         d, res = rs.restir_direct(
-            ds, cam, looper0 + k, gbuf, last_frame, res, first,
+            ds, cam, looper0 + k, gbuf_k, last_frame, res, first,
             reuse, reservoir_size, clamp,
         )
         d = pt.scrub_and_compress(d)
@@ -583,6 +590,9 @@ class Renderer:
             self.state.iteration += block
             self.state.looper = (self.state.looper + block) % SOBOL_SAMPLE_NUM
             done += block
+        # batched paths render WITHOUT the denoiser: drop any stale denoised
+        # frame so current_image() returns the fresh accumulation
+        self._last_image = None
         img = self.current_image()
         return np.asarray(img).reshape(self.cam.height, self.cam.width, 3)
 
@@ -623,6 +633,7 @@ class Renderer:
             self.gbuf_last = self.gbuf.frame
             self.first_frame = False
             done += block
+        self._last_image = None  # see render_batched
         img = self.current_image()
         return np.asarray(img).reshape(self.cam.height, self.cam.width, 3)
 

@@ -247,6 +247,11 @@ def merge_spatial(
         cur.prim_id.astype(jnp.float32), idx.astype(jnp.float32),
     )
     out = empty_reservoir(n)
+    # the rolled fetch needs the local pixel block to reshape into whole
+    # image rows; a shard that isn't a multiple of the width (possible under
+    # --mesh when height % n_tile != 0) uses the gather path instead
+    if looper is not None and n % width != 0:
+        looper = None
     if looper is None:
         for _ in range(num_neighbors):
             r2, sampler = rng.sample_2d(table, sampler)

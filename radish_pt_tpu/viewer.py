@@ -74,9 +74,14 @@ def main(argv=None) -> int:
         return serve(r, port=args.http)
 
     move_step = float(np.linalg.norm(np.asarray(r.ds.bounds_max[0] - r.ds.bounds_min[0]))) * 0.02 + 0.1
-    tracers = [Tracer.STREAMED, Tracer.DIRECT_LIGHT, Tracer.RESTIR_DI,
-               Tracer.BVH_VISUALIZE, Tracer.GBUFFER_PREVIEW]
-    tracer_names = ["pt", "direct", "restir", "bvh", "gbuffer"]
+    if mesh is not None:
+        # mesh mode shards only the pt/restir tracers (renderer._step_sharded)
+        tracers = [Tracer.STREAMED, Tracer.RESTIR_DI]
+        tracer_names = ["pt", "restir"]
+    else:
+        tracers = [Tracer.STREAMED, Tracer.DIRECT_LIGHT, Tracer.RESTIR_DI,
+                   Tracer.BVH_VISUALIZE, Tracer.GBUFFER_PREVIEW]
+        tracer_names = ["pt", "direct", "restir", "bvh", "gbuffer"]
     denoisers = [Denoiser.NONE, Denoiser.GAUSSIAN, Denoiser.EA_WAVELET, Denoiser.SVGF]
     denoiser_names = ["none", "gaussian", "eaw", "svgf"]
     tonemaps = [ToneMapping.NONE, ToneMapping.FILMIC, ToneMapping.ACES]

@@ -174,9 +174,14 @@ def serve(r, port: int = 8000, spp_per_frame: int = 1, quality: int = 85):
     threading.Thread(target=httpd.serve_forever, daemon=True).start()
     print(f"[webviewer: http://localhost:{port}/  (Ctrl-C to stop)]")
 
-    tracers = [Tracer.STREAMED, Tracer.DIRECT_LIGHT, Tracer.RESTIR_DI,
-               Tracer.BVH_VISUALIZE, Tracer.GBUFFER_PREVIEW]
-    tracer_names = ["pt", "direct", "restir", "bvh", "gbuffer"]
+    if getattr(r, "mesh", None) is not None:
+        # mesh mode shards only the pt/restir tracers (renderer._step_sharded)
+        tracers = [Tracer.STREAMED, Tracer.RESTIR_DI]
+        tracer_names = ["pt", "restir"]
+    else:
+        tracers = [Tracer.STREAMED, Tracer.DIRECT_LIGHT, Tracer.RESTIR_DI,
+                   Tracer.BVH_VISUALIZE, Tracer.GBUFFER_PREVIEW]
+        tracer_names = ["pt", "direct", "restir", "bvh", "gbuffer"]
     denoisers = [Denoiser.NONE, Denoiser.GAUSSIAN, Denoiser.EA_WAVELET,
                  Denoiser.SVGF]
     denoiser_names = ["none", "gaussian", "eaw", "svgf"]

@@ -80,3 +80,26 @@ def test_checkpoint_mesh_mode_roundtrip(cornell, tmp_path):
     )
     b.step()  # sharded step runs on restored state
     assert b.state.iteration == 3
+
+
+def test_checkpoint_rejects_mismatched_layout(cornell, tmp_path):
+    """Padded-buffer (mesh) and normal-encoding mismatches are rejected
+    with a clear error instead of a downstream shape crash."""
+    from radish_pt_tpu.parallel import sharding as sh
+
+    devs = jax.devices("cpu")
+    # 16x16 over 7 tiles pads 256 -> 259: n_alloc differs from single-device
+    mesh = sh.make_mesh(n_tile=7, n_sample=1, devices=devs[:7])
+    a = _make(cornell, Settings(tracer=Tracer.RESTIR_DI), mesh=mesh)
+    path = str(tmp_path / "mesh.npz")
+    a.save_checkpoint(path)
+    b = _make(cornell)  # no mesh: unpadded buffers
+    with pytest.raises(ValueError, match="mesh tile padding"):
+        b.load_checkpoint(path)
+
+    c = _make(cornell)
+    p2 = str(tmp_path / "plain.npz")
+    c.save_checkpoint(p2)
+    d = _make(cornell, Settings(encode_normal=True))
+    with pytest.raises(ValueError, match="normal"):
+        d.load_checkpoint(p2)

@@ -183,3 +183,15 @@ def test_batched_restir_matches_step_sequence(cornell):
         rtol=1e-5, atol=1e-6,
     )
     assert a.state.iteration == b.state.iteration == spp
+
+    # camera move at the batch boundary: frame 0 of the next batch must
+    # reproject through the OLD camera, frames k>0 through the new one
+    new_pos = np.asarray(a.cam.position) + np.array([0.05, 0.0, 0.0])
+    a.update_camera(position=new_pos)
+    b.update_camera(position=new_pos)
+    for _ in range(2):
+        a.step()
+    b.render_batched(2, block=2)
+    np.testing.assert_allclose(
+        np.asarray(a.direct), np.asarray(b.direct), rtol=1e-5, atol=1e-6
+    )

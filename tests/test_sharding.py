@@ -173,3 +173,27 @@ def test_sharded_svgf_matches_single_device(cornell, cpu8):
         np.asarray(st_s.accum_color), np.asarray(st_ref.accum_color),
         rtol=1e-6, atol=1e-7,
     )
+
+
+def test_restir_sharded_odd_height_runs(cornell, cpu8):
+    """Shards that aren't whole image rows (height % n_tile != 0) must fall
+    back to the gather-based spatial reuse instead of crashing on the
+    rolled-image reshape."""
+    from radish_pt_tpu.config import ReservoirReuse
+    from radish_pt_tpu.render import gbuffer as gb
+    from radish_pt_tpu.render import restir as rs
+
+    ds, cam, _ = cornell
+    cam = cam.replace(width=16, height=30)  # 480 px / 4 tiles = 120, %16 != 0
+    mesh = sh.make_mesh(n_tile=4, n_sample=1, devices=cpu8[:4])
+    n_pad = sh._padded_pixel_count(cam, 4)
+    res0 = rs.empty_reservoir(n_pad)
+    gbuf_last0 = gb.empty_frame(n_pad)
+    direct0 = jnp.zeros((n_pad, 3), jnp.float32)
+    ds_r = sh.replicate_scene(mesh, ds)
+    d, r, g = sh.restir_step_sharded(
+        mesh, ds_r, cam, cam, 0, gbuf_last0, res0, True, direct0, 0,
+        reuse=ReservoirReuse.TEMPORAL_SPATIAL,
+    )
+    out = np.asarray(d)[: cam.width * cam.height]
+    assert np.isfinite(out).all() and (out >= 0).all()
