@@ -76,3 +76,14 @@ def test_golden_glass():
 
     r = _renderer("glass.txt", Settings(tracer=Tracer.STREAMED, trace_depth=6))
     _check_golden("glass_32", r.render(spp=3))
+
+
+@pytest.mark.slow
+def test_golden_teapot_hires():
+    """>65k-triangle scene end-to-end (the round-1 ceiling, VERDICT
+    Missing #1) — tiny res, 1 spp."""
+    from radish_pt_tpu.config import Settings, Tracer
+
+    r = _renderer("teapot_hires.txt",
+                  Settings(tracer=Tracer.STREAMED, trace_depth=2), res=48)
+    _check_golden("teapot_hires_48", r.render(spp=1))
