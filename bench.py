@@ -78,15 +78,22 @@ def bench(quick: bool = False, verbose: bool = True):
         scenes = scenes[:2]
 
     for name, path in scenes:
-        ds, cam, desc = load_scene(path)
-        cam = cam.replace(width=res, height=res)
-        n_rays_primary = res * res
+        # one failing config must not zero the whole bench (the driver
+        # records this output verbatim)
+        try:
+            ds, cam, desc = load_scene(path)
+            cam = cam.replace(width=res, height=res)
+            n_rays_primary = res * res
 
-        fn = jax.jit(
-            lambda ds, cam, looper: pt.path_trace(ds, cam, looper, depth)
-        )
-        n_iter = 4 if name == "teapot_hires" else 8
-        ms = _time_frames(lambda i: fn(ds, cam, i), n_iter=n_iter)
+            fn = jax.jit(
+                lambda ds, cam, looper: pt.path_trace(ds, cam, looper, depth)
+            )
+            n_iter = 4 if name == "teapot_hires" else 8
+            ms = _time_frames(lambda i: fn(ds, cam, i), n_iter=n_iter)
+        except Exception as e:  # noqa: BLE001
+            log(f"[{name}] FAILED: {type(e).__name__}: {e}")
+            results[f"{name}_error"] = f"{type(e).__name__}: {e}"[:200]
+            continue
         # rays per frame: primary + per-bounce (extension + shadow) upper bound
         # count the *primary* figure like the reference's per-frame quote
         mrays = n_rays_primary * (1 + 2 * depth) / (ms * 1e-3) / 1e6
@@ -96,6 +103,7 @@ def bench(quick: bool = False, verbose: bool = True):
 
         # ReSTIR frame (gbuffer + restir kernel), cornell only
         if name == "cornell":
+          try:
             gfn = jax.jit(gb.render_gbuffer)
             gbuf = gfn(ds, cam, cam)
             jax.block_until_ready(gbuf)
@@ -162,13 +170,16 @@ def bench(quick: bool = False, verbose: bool = True):
             ) / block
             results["restir_batched_ms"] = round(ms_b, 3)
             log(f"[cornell] ReSTIR steady-state (batched x{block}): {ms_b:.2f} ms/frame")
+          except Exception as e:  # noqa: BLE001
+            log(f"[cornell restir] FAILED: {type(e).__name__}: {e}")
+            results["restir_error"] = f"{type(e).__name__}: {e}"[:200]
 
-    primary = results.get("teapot_pt_ms", results["cornell_pt_ms"])
+    primary = results.get("teapot_pt_ms", results.get("cornell_pt_ms", 0.0))
     return {
         "metric": "ms/frame full-MIS PT 800x800 1spp depth5 (teapot if present else cornell)",
         "value": primary,
         "unit": "ms",
-        "vs_baseline": round(BASELINE_TARGET_MS / primary, 3),
+        "vs_baseline": round(BASELINE_TARGET_MS / primary, 3) if primary else 0.0,
         "detail": results,
         "resolution": res,
         "backend": None,
