@@ -834,11 +834,16 @@ def _work_list(flags, w_max: int):
 
 def _plucker_compact_kernel(
     row_ref, sub_ref, count_ref,  # scalar prefetch: i32 [W], [W], [1]
-    c_ref,  # [1, 4*sub, K] VMEM: this step's stacked coefficient planes
-    f_ref,  # [K, group*128] VMEM: this step's ray-row-group features
-    prim_ref, dist_ref,  # [rows, 128] FULL outputs, launch-resident
-    *, sub: int, bf16x3: bool, group: int,
+    *refs,  # fan c_refs [1,4*sub,K], fan f_refs [K,group*128], then outputs
+    sub: int, bf16x3: bool, group: int, fan: int = 1,
 ):
+    """``fan`` work items per grid step: each item k has its own coefficient
+    and feature block (separate BlockSpecs index-mapped at w*fan+k), so one
+    grid step performs ``fan`` MXU sweeps — amortizing the per-step pipeline
+    bookkeeping that dominates at 64-tri cull units."""
+    c_refs = refs[:fan]
+    f_refs = refs[fan:2 * fan]
+    prim_ref, dist_ref = refs[2 * fan], refs[2 * fan + 1]
     w = pl.program_id(0)
 
     @pl.when(w == 0)
@@ -846,109 +851,148 @@ def _plucker_compact_kernel(
         prim_ref[...] = jnp.full_like(prim_ref, NULL_PRIMITIVE)
         dist_ref[...] = jnp.full_like(dist_ref, FLT_MAX)
 
-    @pl.when(w < count_ref[0])
-    def _work():
-        dot = lambda a, b: jax.lax.dot_general(  # noqa: E731
-            a, b, (((1,), (0,)), ((), ())),
-            precision=None if bf16x3 else jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
-        # ONE [4*sub, K] @ [K, group*128] MXU op covers the whole row group
-        q = dot(c_ref[0], f_ref[...])
-        det = q[0 * sub:1 * sub, :]
-        bx = q[1 * sub:2 * sub, :]
-        by = q[2 * sub:3 * sub, :]
-        td = q[3 * sub:4 * sub, :]
+    dot = lambda a, b: jax.lax.dot_general(  # noqa: E731
+        a, b, (((1,), (0,)), ((), ())),
+        precision=None if bf16x3 else jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
 
-        sd = det * det
-        v = jnp.minimum(bx * det, by * det)
-        v = jnp.minimum(v, sd - (bx + by) * det)
-        v = jnp.minimum(v, sd - PLUCKER_EPS2)
-        valid = (v >= 0.0) & (td * det > 0.0)
-        t = td / det
-        tval = jnp.where(valid, t, FLT_MAX)
+    for k in range(fan):
+        item = w * fan + k
 
-        iota = jax.lax.broadcasted_iota(jnp.int32, (sub, group * 128), 0)
-        ids = (sub_ref[w] * sub + iota).astype(jnp.float32)
-        tmin = jnp.min(tval, axis=0, keepdims=True)  # [1, group*128]
-        idmin = jnp.min(
-            jnp.where(tval == tmin, ids, FLT_MAX), axis=0, keepdims=True
-        )
-        # fold each 128-lane column slice into its output row (static
-        # unroll; a (1, group*128) -> (group, 128) reshape would be a lane
-        # relayout, slices are free)
-        for j in range(group):
-            col = slice(j * 128, (j + 1) * 128)
-            row = pl.ds(row_ref[w] * group + j, 1)
-            tj = tmin[:, col]
-            upd = (tj < dist_ref[row, :]) & (tj < FLT_MAX)
-            dist_ref[row, :] = jnp.where(upd, tj, dist_ref[row, :])
-            prim_ref[row, :] = jnp.where(
-                upd, idmin[:, col].astype(jnp.int32), prim_ref[row, :]
+        @pl.when(item < count_ref[0])
+        def _work(k=k, item=item):
+            # ONE [4*sub, K] @ [K, group*128] MXU op covers the row group
+            q = dot(c_refs[k][0], f_refs[k][...])
+            det = q[0 * sub:1 * sub, :]
+            bx = q[1 * sub:2 * sub, :]
+            by = q[2 * sub:3 * sub, :]
+            td = q[3 * sub:4 * sub, :]
+
+            sd = det * det
+            v = jnp.minimum(bx * det, by * det)
+            v = jnp.minimum(v, sd - (bx + by) * det)
+            v = jnp.minimum(v, sd - PLUCKER_EPS2)
+            valid = (v >= 0.0) & (td * det > 0.0)
+            t = td / det
+            tval = jnp.where(valid, t, FLT_MAX)
+
+            iota = jax.lax.broadcasted_iota(jnp.int32, (sub, group * 128), 0)
+            ids = (sub_ref[item] * sub + iota).astype(jnp.float32)
+            tmin = jnp.min(tval, axis=0, keepdims=True)  # [1, group*128]
+            idmin = jnp.min(
+                jnp.where(tval == tmin, ids, FLT_MAX), axis=0, keepdims=True
             )
+            # fold each 128-lane column slice into its output row (static
+            # unroll; a (1, group*128) -> (group, 128) reshape would be a lane
+            # relayout, slices are free)
+            for j in range(group):
+                col = slice(j * 128, (j + 1) * 128)
+                row = pl.ds(row_ref[item] * group + j, 1)
+                tj = tmin[:, col]
+                upd = (tj < dist_ref[row, :]) & (tj < FLT_MAX)
+                dist_ref[row, :] = jnp.where(upd, tj, dist_ref[row, :])
+                prim_ref[row, :] = jnp.where(
+                    upd, idmin[:, col].astype(jnp.int32), prim_ref[row, :]
+                )
 
 
 def _plucker_compact_occl_kernel(
     row_ref, sub_ref, count_ref,  # scalar prefetch
-    c_ref,  # [1, 4*sub, K]
-    f_ref,  # [K, group*128]
-    tm_ref,  # [1, group*128] f32 segment tmax for this row group
-    occ_ref,  # [rows, 128] i32 FULL output, launch-resident
-    *, sub: int, bf16x3: bool, group: int,
+    *refs,  # fan c_refs, fan f_refs, fan tm_refs, then occ_ref output
+    sub: int, bf16x3: bool, group: int, fan: int = 1,
 ):
+    c_refs = refs[:fan]
+    f_refs = refs[fan:2 * fan]
+    tm_refs = refs[2 * fan:3 * fan]
+    occ_ref = refs[3 * fan]  # [rows, 128] i32 FULL output, launch-resident
     w = pl.program_id(0)
 
     @pl.when(w == 0)
     def _init():
         occ_ref[...] = jnp.zeros_like(occ_ref)
 
-    @pl.when(w < count_ref[0])
-    def _work():
-        dot = lambda a, b: jax.lax.dot_general(  # noqa: E731
-            a, b, (((1,), (0,)), ((), ())),
-            precision=None if bf16x3 else jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
-        q = dot(c_ref[0], f_ref[...])
-        det = q[0 * sub:1 * sub, :]
-        bx = q[1 * sub:2 * sub, :]
-        by = q[2 * sub:3 * sub, :]
-        td = q[3 * sub:4 * sub, :]
+    dot = lambda a, b: jax.lax.dot_general(  # noqa: E731
+        a, b, (((1,), (0,)), ((), ())),
+        precision=None if bf16x3 else jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
 
-        sd = det * det
-        v = jnp.minimum(bx * det, by * det)
-        v = jnp.minimum(v, sd - (bx + by) * det)
-        v = jnp.minimum(v, sd - PLUCKER_EPS2)
-        tdd = td * det
-        hit = (v >= 0.0) & (tdd > 0.0) & (tdd < tm_ref[...] * sd)
-        any_hit = jnp.max(hit.astype(jnp.int32), axis=0, keepdims=True)
-        for j in range(group):
-            col = slice(j * 128, (j + 1) * 128)
-            row = pl.ds(row_ref[w] * group + j, 1)
-            occ_ref[row, :] = occ_ref[row, :] | any_hit[:, col]
+    for k in range(fan):
+        item = w * fan + k
+
+        @pl.when(item < count_ref[0])
+        def _work(k=k, item=item):
+            q = dot(c_refs[k][0], f_refs[k][...])
+            det = q[0 * sub:1 * sub, :]
+            bx = q[1 * sub:2 * sub, :]
+            by = q[2 * sub:3 * sub, :]
+            td = q[3 * sub:4 * sub, :]
+
+            sd = det * det
+            v = jnp.minimum(bx * det, by * det)
+            v = jnp.minimum(v, sd - (bx + by) * det)
+            v = jnp.minimum(v, sd - PLUCKER_EPS2)
+            tdd = td * det
+            hit = (v >= 0.0) & (tdd > 0.0) & (tdd < tm_refs[k][...] * sd)
+            any_hit = jnp.max(hit.astype(jnp.int32), axis=0, keepdims=True)
+            for j in range(group):
+                col = slice(j * 128, (j + 1) * 128)
+                row = pl.ds(row_ref[item] * group + j, 1)
+                occ_ref[row, :] = occ_ref[row, :] | any_hit[:, col]
+
+
+def _pad_work(wrow, wsub, fan: int):
+    """Pad the work lists to a multiple of ``fan`` (repeat entry 0: padded
+    items are no-DMA revisits and scalar-skipped by the count guard)."""
+    pad = -wrow.shape[0] % fan
+    if pad:
+        wrow = jnp.concatenate([wrow, jnp.broadcast_to(wrow[0], (pad,))])
+        wsub = jnp.concatenate([wsub, jnp.broadcast_to(wsub[0], (pad,))])
+    return wrow, wsub
 
 
 def _compact_pallas_call(kernel, w_max, sub, kdim, rows, out_shapes,
-                         group=1, extra_in_specs=(), interpret=False):
-    """Shared PrefetchScalarGridSpec plumbing for the compact kernels."""
-    c_spec = pl.BlockSpec(
-        (1, 4 * sub, kdim),
-        lambda w, wrow, wsub, cnt: (wsub[w], 0, 0),
-        memory_space=pltpu.VMEM,
-    )
-    f_spec = pl.BlockSpec(
-        (kdim, group * 128),
-        lambda w, wrow, wsub, cnt: (0, wrow[w]),
-        memory_space=pltpu.VMEM,
-    )
+                         group=1, with_tm=False, interpret=False, fan=1):
+    """Shared PrefetchScalarGridSpec plumbing for the compact kernels.
+
+    ``fan`` work items ride each grid step (item k of step w is work-list
+    entry w*fan+k, with its own coefficient/feature BlockSpecs); callers pad
+    the work lists to fan*steps entries and pass the coeff/feat (and tmrow)
+    operands ``fan`` times — the duplicates alias the same HBM buffers."""
+    steps = -(-w_max // fan)
+    c_specs = [
+        pl.BlockSpec(
+            (1, 4 * sub, kdim),
+            (lambda w, wrow, wsub, cnt, k=k: (wsub[w * fan + k], 0, 0)),
+            memory_space=pltpu.VMEM,
+        )
+        for k in range(fan)
+    ]
+    f_specs = [
+        pl.BlockSpec(
+            (kdim, group * 128),
+            (lambda w, wrow, wsub, cnt, k=k: (0, wrow[w * fan + k])),
+            memory_space=pltpu.VMEM,
+        )
+        for k in range(fan)
+    ]
+    tm_specs = [
+        pl.BlockSpec(
+            (1, group * 128),
+            (lambda w, wrow, wsub, cnt, k=k: (0, wrow[w * fan + k])),
+            memory_space=pltpu.VMEM,
+        )
+        for k in range(fan)
+    ] if with_tm else []
     out_spec = pl.BlockSpec(
         (rows, 128), lambda w, wrow, wsub, cnt: (0, 0),
         memory_space=pltpu.VMEM,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(w_max,),
-        in_specs=[c_spec, f_spec, *extra_in_specs],
+        grid=(steps,),
+        in_specs=[*c_specs, *f_specs, *tm_specs],
         out_specs=[out_spec] * len(out_shapes),
     )
     return pl.pallas_call(
@@ -1021,13 +1065,13 @@ def _compact_prepass(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("interpret", "bf16x3", "work_per_row", "group"),
+    static_argnames=("interpret", "bf16x3", "work_per_row", "group", "fan"),
 )
 def intersect_plucker_compact(
     tri_packed, ray_o, ray_d,
     tri_order=None, cluster_bounds=None, tmax=None,
     interpret: bool = False, bf16x3: bool | None = None,
-    work_per_row: int = 24, group: int = 4,
+    work_per_row: int = 24, group: int = 4, fan: int = 1,
 ):
     """Closest hit via the compacted work-list MXU sweep.
 
@@ -1035,7 +1079,9 @@ def intersect_plucker_compact(
     remapped through ``tri_order``; ``tmax = -inf`` lanes are dead).  Work
     items are (``group``·128-ray row group, 64-tri sub-cluster) pairs — one
     feature DMA + one MXU op each; larger groups amortize the ~0.45 us
-    per-step pipeline cost over more lanes at the price of coarser culling.
+    per-step pipeline cost over more lanes at the price of coarser culling,
+    while ``fan`` packs that many items into each grid step (amortizing the
+    same cost with NO cull loss — the items keep their own blocks).
     The global budget is ``work_per_row`` items per row group; if the
     prepass flags more pairs, the whole launch falls back to the scan
     kernel (lax.cond — both branches compiled, one executed).
@@ -1051,7 +1097,7 @@ def intersect_plucker_compact(
                 tri_order=tri_order, cluster_bounds=cluster_bounds,
                 tmax=None if tmax is None else tmax[lo:hi],
                 interpret=interpret, bf16x3=bf16x3,
-                work_per_row=work_per_row, group=group,
+                work_per_row=work_per_row, group=group, fan=fan,
             )
             prims.append(p)
             dists.append(t)
@@ -1073,18 +1119,19 @@ def intersect_plucker_compact(
     row_shape = (rows, 128)
 
     def compact(_):
+        wr, ws = _pad_work(wrow, wsub, fan)
         call = _compact_pallas_call(
             functools.partial(_plucker_compact_kernel, sub=sub,
-                              bf16x3=bf16x3, group=group),
+                              bf16x3=bf16x3, group=group, fan=fan),
             w_max, sub, kdim, rows,
             out_shapes=[
                 jax.ShapeDtypeStruct(row_shape, jnp.int32),
                 jax.ShapeDtypeStruct(row_shape, jnp.float32),
             ],
             group=group,
-            interpret=interpret,
+            interpret=interpret, fan=fan,
         )
-        return call(wrow, wsub, count, coeffs, feats)
+        return call(wr, ws, count, *([coeffs] * fan), *([feats] * fan))
 
     def dense(_):
         p, t = intersect_plucker_pallas(
@@ -1113,17 +1160,17 @@ def intersect_plucker_compact(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("interpret", "bf16x3", "work_per_row", "group"),
+    static_argnames=("interpret", "bf16x3", "work_per_row", "group", "fan"),
 )
 def occlusion_plucker_compact(
     tri_packed, x, y,
     tri_order=None, cluster_bounds=None,
     interpret: bool = False, bf16x3: bool | None = None,
-    work_per_row: int = 24, group: int = 4,
+    work_per_row: int = 24, group: int = 4, fan: int = 1,
 ):
     """Any-hit segment query via the compacted work-list sweep — twin of
     :func:`occlusion_plucker_pallas` (see intersect_plucker_compact for the
-    group/budget semantics)."""
+    group/budget/fan semantics)."""
     assert cluster_bounds is not None, "compact path requires cluster bounds"
     if x.shape[0] > COMPACT_MAX_LANES:
         return jnp.concatenate([
@@ -1132,7 +1179,7 @@ def occlusion_plucker_compact(
                 y[lo:lo + COMPACT_MAX_LANES],
                 tri_order=tri_order, cluster_bounds=cluster_bounds,
                 interpret=interpret, bf16x3=bf16x3,
-                work_per_row=work_per_row, group=group,
+                work_per_row=work_per_row, group=group, fan=fan,
             )
             for lo in range(0, x.shape[0], COMPACT_MAX_LANES)
         ])
@@ -1161,22 +1208,20 @@ def occlusion_plucker_compact(
     tmrow = tmrow[None, :]  # [1, N_pad] f32
 
     row_shape = (rows, 128)
-    tm_spec = pl.BlockSpec(
-        (1, group * 128), lambda w, wrow, wsub, cnt: (0, wrow[w]),
-        memory_space=pltpu.VMEM,
-    )
 
     def compact(_):
+        wr, ws = _pad_work(wrow, wsub, fan)
         call = _compact_pallas_call(
             functools.partial(_plucker_compact_occl_kernel, sub=sub,
-                              bf16x3=bf16x3, group=group),
+                              bf16x3=bf16x3, group=group, fan=fan),
             w_max, sub, kdim, rows,
             out_shapes=[jax.ShapeDtypeStruct(row_shape, jnp.int32)],
             group=group,
-            extra_in_specs=(tm_spec,),
-            interpret=interpret,
+            with_tm=True,
+            interpret=interpret, fan=fan,
         )
-        return call(wrow, wsub, count, coeffs, feats, tmrow)[0]
+        return call(wr, ws, count,
+                    *([coeffs] * fan), *([feats] * fan), *([tmrow] * fan))[0]
 
     def dense(_):
         occ = occlusion_plucker_pallas(

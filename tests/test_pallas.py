@@ -276,6 +276,37 @@ def test_compact_matches_brute(scene_rays):
     )
 
 
+@pytest.mark.parametrize("fan", [2, 3, 4])
+def test_compact_fan_matches_fan1(scene_rays, fan):
+    """fan>1 (multiple work items per grid step) is a pure scheduling change:
+    results are identical to fan=1 — including odd fan, which exercises the
+    work-list padding."""
+    from radish_pt_tpu.accel.pallas_kernels import (
+        intersect_plucker_compact, occlusion_plucker_compact)
+
+    tri_packed, ray_o, ray_d = scene_rays
+    cb = _make_cluster_bounds(tri_packed)
+    p0, d0 = intersect_plucker_compact(
+        tri_packed, ray_o, ray_d, cluster_bounds=cb, interpret=True
+    )
+    p1, d1 = intersect_plucker_compact(
+        tri_packed, ray_o, ray_d, cluster_bounds=cb, interpret=True, fan=fan
+    )
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p0))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d0))
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(-4, 4, size=(64, 3)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(-4, 4, size=(64, 3)).astype(np.float32))
+    o0 = occlusion_plucker_compact(
+        tri_packed, x, y, cluster_bounds=cb, interpret=True
+    )
+    o1 = occlusion_plucker_compact(
+        tri_packed, x, y, cluster_bounds=cb, interpret=True, fan=fan
+    )
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o0))
+
+
 def test_compact_overflow_falls_back_dense(scene_rays):
     """work_per_row smaller than the flagged count must trigger the dense
     fallback (lax.cond) and still return exact results."""

@@ -99,32 +99,38 @@ def main():
             except Exception as e:
                 print(f"  {name:14s} {engine:15s} FAILED: {e}", flush=True)
 
-    # compact (group, budget) sweep on hires primaries
-    if "teapot_hires" in scenes:
-        print("\n== compact (group, work_per_row) on hires ==", flush=True)
-        from radish_pt_tpu.accel.pallas_kernels import intersect_plucker_compact
-        from radish_pt_tpu.sampling import rng
+    # compact (group, budget, fan) sweep on primaries — hires (the >65k
+    # engine) AND teapot (can compact+fan replace the dense scan mid-scale?)
+    from radish_pt_tpu.accel.pallas_kernels import intersect_plucker_compact
+    from radish_pt_tpu.sampling import rng
 
-        ds, cam = scenes["teapot_hires"]
+    for sname in ("teapot_hires", "teapot"):
+        if sname not in scenes:
+            continue
+        print(f"\n== compact (group, wpr, fan) on {sname} ==", flush=True)
+        ds, cam = scenes[sname]
         n = res * res
         idx = jnp.arange(n, dtype=jnp.int32)
         ray_o, ray_d, _ = jax.jit(pt._gen_primary)(
             ds, cam, rng.make_sampler(3, idx), idx)
+        wprs = (40, 64) if sname == "teapot_hires" else (24, 40)
         for group in (1, 2, 4, 8):
-            for wpr in (40, 64):
-                try:
-                    fn = jax.jit(partial(
-                        intersect_plucker_compact,
-                        tri_order=ds.tri_order,
-                        cluster_bounds=ds.cluster_bounds,
-                        group=group, work_per_row=wpr,
-                    ))
-                    ms = timeit(lambda i: fn(ds.tri_packed, ray_o, ray_d),
-                                n_iter=n_iter)
-                    print(f"  group={group} wpr={wpr}: {ms:7.2f} ms/sweep",
-                          flush=True)
-                except Exception as e:
-                    print(f"  group={group} wpr={wpr}: FAILED {e}", flush=True)
+            for wpr in wprs:
+                for fan in (1, 4):
+                    try:
+                        fn = jax.jit(partial(
+                            intersect_plucker_compact,
+                            tri_order=ds.tri_order,
+                            cluster_bounds=ds.cluster_bounds,
+                            group=group, work_per_row=wpr, fan=fan,
+                        ))
+                        ms = timeit(lambda i: fn(ds.tri_packed, ray_o, ray_d),
+                                    n_iter=n_iter)
+                        print(f"  group={group} wpr={wpr} fan={fan}: "
+                              f"{ms:7.2f} ms/sweep", flush=True)
+                    except Exception as e:
+                        print(f"  group={group} wpr={wpr} fan={fan}: "
+                              f"FAILED {e}", flush=True)
 
     # sorted vs raster primaries
     print("\n== primary sorting A/B ==", flush=True)
