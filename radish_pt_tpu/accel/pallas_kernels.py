@@ -763,6 +763,12 @@ def occlusion_plucker_pallas(tri_packed, x, y,
 
 
 COMPACT_MAX_LANES = 640 * 1024  # out blocks resident in VMEM: 8 B/lane
+
+# Tuning applied by the scene-level dispatch (device_scene) when the scene's
+# intersector is "pallas_compact".  Mutate at startup (CLI --compact-tuning,
+# or after a tools/tpu_triage.py sweep): values are read at TRACE time, so
+# they must be set before the first jit of a render loop.
+COMPACT_TUNING = {"work_per_row": 24, "group": 4, "fan": 1}
 # cull-unit count the per-ray slab prepass is sized for; bigger scenes
 # COARSEN the cull unit (consecutive fine clusters merge) instead of
 # degrading to interval/cone tests.  Measured on teapot_hires (111k tris,

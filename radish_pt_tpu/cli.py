@@ -93,7 +93,25 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace of the render loop "
                    "(view with xprof/tensorboard)")
+    p.add_argument("--compact-tuning", default=None, metavar="K=V[,K=V...]",
+                   help="override pallas_compact engine tuning, e.g. "
+                   "group=2,fan=4,work_per_row=40 (see tools/tpu_triage.py)")
     return p
+
+
+def apply_compact_tuning(spec: str) -> None:
+    """Mutate the pallas_compact engine tuning from a "k=v,k=v" spec.
+    Must run before the first jit trace (values are read at trace time)."""
+    from .accel.pallas_kernels import COMPACT_TUNING
+
+    for kv in spec.split(","):
+        k, _, v = kv.partition("=")
+        k = k.strip()
+        if k not in COMPACT_TUNING:
+            raise SystemExit(
+                f"--compact-tuning: unknown key {k!r} "
+                f"(valid: {', '.join(COMPACT_TUNING)})")
+        COMPACT_TUNING[k] = int(v)
 
 
 def main(argv=None) -> int:
@@ -108,6 +126,9 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_debug_nans", True)
+
+    if args.compact_tuning:
+        apply_compact_tuning(args.compact_tuning)
 
     mesh = None
     if args.mesh:

@@ -273,18 +273,18 @@ def intersect(ds: DeviceScene, ray_o, ray_d, active=None) -> Interaction:
     """
     if ds.intersector in ("pallas_mxu", "pallas_compact"):
         from ..accel.pallas_kernels import (
-            FLT_MAX, intersect_plucker_compact, intersect_plucker_pallas)
+            COMPACT_TUNING, FLT_MAX, intersect_plucker_compact,
+            intersect_plucker_pallas)
 
         tmax = None
         if active is not None:
             tmax = jnp.where(active, FLT_MAX, -FLT_MAX)
-        isect = (intersect_plucker_compact
-                 if ds.intersector == "pallas_compact"
-                 else intersect_plucker_pallas)
+        compact = ds.intersector == "pallas_compact"
+        isect = intersect_plucker_compact if compact else intersect_plucker_pallas
         prim, dist = isect(
             ds.tri_packed, ray_o, ray_d,
             tri_order=ds.tri_order, cluster_bounds=ds.cluster_bounds,
-            tmax=tmax,
+            tmax=tmax, **(COMPACT_TUNING if compact else {}),
         )
         if active is not None:
             prim = jnp.where(active, prim, -1)
@@ -352,19 +352,19 @@ def intersect_sorted(ds: DeviceScene, ray_o, ray_d, active=None) -> Interaction:
         # interpolation happens in PIXEL order (same gather cost, ~8 fewer
         # sort columns)
         from ..accel.pallas_kernels import (
-            FLT_MAX, intersect_plucker_compact, intersect_plucker_pallas)
+            COMPACT_TUNING, FLT_MAX, intersect_plucker_compact,
+            intersect_plucker_pallas)
 
         tmax = None
         if active is not None:
             # dead lanes (sorted to the back) flag no clusters: tmax = -inf
             tmax = jnp.where(s[8], FLT_MAX, -FLT_MAX)
-        isect = (intersect_plucker_compact
-                 if ds.intersector == "pallas_compact"
-                 else intersect_plucker_pallas)
+        compact = ds.intersector == "pallas_compact"
+        isect = intersect_plucker_compact if compact else intersect_plucker_pallas
         prim_s, dist_s = isect(
             ds.tri_packed, o_s, d_s,
             tri_order=ds.tri_order, cluster_bounds=ds.cluster_bounds,
-            tmax=tmax,
+            tmax=tmax, **(COMPACT_TUNING if compact else {}),
         )
         u = jax.lax.sort((lane_s, prim_s, dist_s), num_keys=1)
         prim, dist = u[1], u[2]
@@ -520,14 +520,15 @@ def test_occlusion(ds: DeviceScene, x, y):
     """True where segment x->y is blocked (testOcclusion, scene.h:303-334)."""
     if ds.intersector in ("pallas_mxu", "pallas_compact"):
         from ..accel.pallas_kernels import (
-            occlusion_plucker_compact, occlusion_plucker_pallas)
+            COMPACT_TUNING, occlusion_plucker_compact,
+            occlusion_plucker_pallas)
 
-        occl = (occlusion_plucker_compact
-                if ds.intersector == "pallas_compact"
-                else occlusion_plucker_pallas)
+        compact = ds.intersector == "pallas_compact"
+        occl = occlusion_plucker_compact if compact else occlusion_plucker_pallas
         return occl(
             ds.tri_packed, x, y,
             tri_order=ds.tri_order, cluster_bounds=ds.cluster_bounds,
+            **(COMPACT_TUNING if compact else {}),
         )
     if ds.intersector == "pallas_brute":
         from ..accel.pallas_kernels import occlusion_brute_pallas

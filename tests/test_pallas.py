@@ -425,3 +425,20 @@ def test_pallas_occlusion_matches_xla(scene_rays):
     o0 = trv.occlusion_brute(tri_packed, x, y)
     o1 = occlusion_brute_pallas(tri_packed, x, y, interpret=True)
     np.testing.assert_array_equal(np.asarray(o1), np.asarray(o0))
+
+
+def test_compact_tuning_cli_spec():
+    """--compact-tuning spec parsing mutates the trace-time tuning dict and
+    rejects unknown keys."""
+    from radish_pt_tpu.accel.pallas_kernels import COMPACT_TUNING
+    from radish_pt_tpu.cli import apply_compact_tuning
+
+    saved = dict(COMPACT_TUNING)
+    try:
+        apply_compact_tuning("group=2, fan=4,work_per_row=40")
+        assert COMPACT_TUNING == {"group": 2, "fan": 4, "work_per_row": 40}
+        with pytest.raises(SystemExit):
+            apply_compact_tuning("bogus=1")
+    finally:
+        COMPACT_TUNING.clear()
+        COMPACT_TUNING.update(saved)
