@@ -316,44 +316,57 @@ def _plucker_kernel(
     # MXU op per sweep (four separate [sub, 10] dots are latency-bound).
     iota = jax.lax.broadcasted_iota(jnp.int32, (sub, 128), 0).astype(jnp.float32)
 
-    for s in range(tri_chunk // sub):
-        cst = c_ref[s]  # [4*sub, 10] stacked planes
-        ids = c * tri_chunk + s * sub + iota
+    def _step_body():
+        for s in range(tri_chunk // sub):
+            cst = c_ref[s]  # [4*sub, 10] stacked planes
+            ids = c * tri_chunk + s * sub + iota
 
-        for r in range(RAY_BLOCK // 128):
-            def _sweep(cst=cst, ids=ids, r=r):
-                f = f_ref[:, r * 128:(r + 1) * 128]  # [30, 128] bf16
-                q = dot(cst, f)  # ONE bf16 [4*sub, 30] @ [30, 128] MXU op
-                det = q[0 * sub:1 * sub, :]
-                bx = q[1 * sub:2 * sub, :]
-                by = q[2 * sub:3 * sub, :]
-                td = q[3 * sub:4 * sub, :]
+            for r in range(RAY_BLOCK // 128):
+                def _sweep(cst=cst, ids=ids, r=r):
+                    f = f_ref[:, r * 128:(r + 1) * 128]  # [30, 128] bf16
+                    q = dot(cst, f)  # ONE bf16 [4*sub, 30] @ [30, 128] MXU op
+                    det = q[0 * sub:1 * sub, :]
+                    bx = q[1 * sub:2 * sub, :]
+                    by = q[2 * sub:3 * sub, :]
+                    td = q[3 * sub:4 * sub, :]
 
-                sd = det * det
-                v = jnp.minimum(bx * det, by * det)
-                v = jnp.minimum(v, sd - (bx + by) * det)
-                v = jnp.minimum(v, sd - PLUCKER_EPS2)
-                valid = (v >= 0.0) & (td * det > 0.0)
-                t = td / det
-                tval = jnp.where(valid, t, FLT_MAX)
+                    sd = det * det
+                    v = jnp.minimum(bx * det, by * det)
+                    v = jnp.minimum(v, sd - (bx + by) * det)
+                    v = jnp.minimum(v, sd - PLUCKER_EPS2)
+                    valid = (v >= 0.0) & (td * det > 0.0)
+                    t = td / det
+                    tval = jnp.where(valid, t, FLT_MAX)
 
-                tmin = jnp.min(tval, axis=0, keepdims=True)  # [1, 128]
-                idmin = jnp.min(
-                    jnp.where(tval == tmin, ids, FLT_MAX),
-                    axis=0, keepdims=True,
-                )
-                row = pl.ds(base + r, 1)
-                upd = (tmin < dist_s[row, :]) & (tmin < FLT_MAX)
-                dist_s[row, :] = jnp.where(upd, tmin, dist_s[row, :])
-                prim_s[row, :] = jnp.where(
-                    upd, idmin.astype(jnp.int32), prim_s[row, :]
-                )
+                    tmin = jnp.min(tval, axis=0, keepdims=True)  # [1, 128]
+                    idmin = jnp.min(
+                        jnp.where(tval == tmin, ids, FLT_MAX),
+                        axis=0, keepdims=True,
+                    )
+                    row = pl.ds(base + r, 1)
+                    upd = (tmin < dist_s[row, :]) & (tmin < FLT_MAX)
+                    dist_s[row, :] = jnp.where(upd, tmin, dist_s[row, :])
+                    prim_s[row, :] = jnp.where(
+                        upd, idmin.astype(jnp.int32), prim_s[row, :]
+                    )
 
-            if use_mask:
-                pl.when((mask_ref[0, r, c] >> s) & 1 != 0)(_sweep)
-            else:
-                # no clusters -> statically unconditional (no scalar branches)
-                _sweep()
+                if use_mask:
+                    pl.when((mask_ref[0, r, c] >> s) & 1 != 0)(_sweep)
+                else:
+                    # no clusters -> statically unconditional (no branches)
+                    _sweep()
+
+    if use_mask:
+        # step-level union guard: a (ray block, chunk) pair whose 8 rows flag
+        # NO sub-cluster skips the whole 64-branch loop nest with one test —
+        # after wavefront sorting most steps are empty, and their per-branch
+        # scalar bookkeeping was a measurable share of mid-scene frames
+        union = mask_ref[0, 0, c]
+        for r in range(1, RAY_BLOCK // 128):
+            union = union | mask_ref[0, r, c]
+        pl.when(union != 0)(_step_body)
+    else:
+        _step_body()
 
     @pl.when(c == n_chunks - 1)
     def _flush():
@@ -393,33 +406,45 @@ def _plucker_occl_kernel(
         preferred_element_type=jnp.float32,
     )
 
-    for s in range(tri_chunk // sub):
-        cst = c_ref[s]  # [4*sub, 30] stacked bf16 planes
+    def _step_body():
+        for s in range(tri_chunk // sub):
+            cst = c_ref[s]  # [4*sub, 30] stacked bf16 planes
 
-        for r in range(RAY_BLOCK // 128):
-            def _sweep(cst=cst, r=r):
-                row = pl.ds(base + r, 1)
-                f = f_ref[:, r * 128:(r + 1) * 128]  # [30, 128] bf16
-                q = dot(cst, f)  # ONE bf16 [4*sub, 30] @ [30, 128] MXU op
-                det = q[0 * sub:1 * sub, :]
-                bx = q[1 * sub:2 * sub, :]
-                by = q[2 * sub:3 * sub, :]
-                td = q[3 * sub:4 * sub, :]
+            for r in range(RAY_BLOCK // 128):
+                def _sweep(cst=cst, r=r):
+                    row = pl.ds(base + r, 1)
+                    f = f_ref[:, r * 128:(r + 1) * 128]  # [30, 128] bf16
+                    q = dot(cst, f)  # ONE bf16 [4*sub, 30] @ [30, 128] MXU op
+                    det = q[0 * sub:1 * sub, :]
+                    bx = q[1 * sub:2 * sub, :]
+                    by = q[2 * sub:3 * sub, :]
+                    td = q[3 * sub:4 * sub, :]
 
-                sd = det * det
-                v = jnp.minimum(bx * det, by * det)
-                v = jnp.minimum(v, sd - (bx + by) * det)
-                v = jnp.minimum(v, sd - PLUCKER_EPS2)
-                tdd = td * det
-                tm = tm_ref[:, r * 128:(r + 1) * 128]  # [1, 128] f32
-                hit = (v >= 0.0) & (tdd > 0.0) & (tdd < tm * sd)
-                any_hit = jnp.max(hit.astype(jnp.int32), axis=0, keepdims=True)
-                occ_s[row, :] = occ_s[row, :] | any_hit
+                    sd = det * det
+                    v = jnp.minimum(bx * det, by * det)
+                    v = jnp.minimum(v, sd - (bx + by) * det)
+                    v = jnp.minimum(v, sd - PLUCKER_EPS2)
+                    tdd = td * det
+                    tm = tm_ref[:, r * 128:(r + 1) * 128]  # [1, 128] f32
+                    hit = (v >= 0.0) & (tdd > 0.0) & (tdd < tm * sd)
+                    any_hit = jnp.max(
+                        hit.astype(jnp.int32), axis=0, keepdims=True
+                    )
+                    occ_s[row, :] = occ_s[row, :] | any_hit
 
-            if use_mask:
-                pl.when((mask_ref[0, r, c] >> s) & 1 != 0)(_sweep)
-            else:
-                _sweep()
+                if use_mask:
+                    pl.when((mask_ref[0, r, c] >> s) & 1 != 0)(_sweep)
+                else:
+                    _sweep()
+
+    if use_mask:
+        # step-level union guard (see _plucker_kernel)
+        union = mask_ref[0, 0, c]
+        for r in range(1, RAY_BLOCK // 128):
+            union = union | mask_ref[0, r, c]
+        pl.when(union != 0)(_step_body)
+    else:
+        _step_body()
 
     @pl.when(c == n_chunks - 1)
     def _flush():
@@ -1408,40 +1433,50 @@ def _quad_kernel(
     )
     iota6 = jax.lax.broadcasted_iota(jnp.int32, (sub, 128), 0)
 
-    for s in range(tri_chunk // sub):
-        for r in range(RAY_BLOCK // 128):
-            def _sweep(s=s, r=r):
-                f = f_ref[:, r * 128:(r + 1) * 128]  # [28, 128]
-                q = dot(c_ref[s], f)  # ONE [5*sub,28]@[28,128] f32 MXU op
-                q1 = q[0 * sub:1 * sub, :]
-                q2 = q[1 * sub:2 * sub, :]
-                q3 = q[2 * sub:3 * sub, :]
-                q4 = q[3 * sub:4 * sub, :]
-                q5 = q[4 * sub:5 * sub, :]
+    def _step_body():
+        for s in range(tri_chunk // sub):
+            for r in range(RAY_BLOCK // 128):
+                def _sweep(s=s, r=r):
+                    f = f_ref[:, r * 128:(r + 1) * 128]  # [28, 128]
+                    q = dot(c_ref[s], f)  # ONE [5*sub,28]@[28,128] f32 MXU op
+                    q1 = q[0 * sub:1 * sub, :]
+                    q2 = q[1 * sub:2 * sub, :]
+                    q3 = q[2 * sub:3 * sub, :]
+                    q4 = q[3 * sub:4 * sub, :]
+                    q5 = q[4 * sub:5 * sub, :]
 
-                mmin = jnp.minimum(
-                    jnp.minimum(q1, q2), jnp.minimum(q3, q4)
-                )
-                mmin = jnp.minimum(mmin, q5)
-                # closest-hit rays are unit-length: |d|² == 1, sd = q4 + eps²
-                t = q5 / (q4 + PLUCKER_EPS2)
-                tval = jnp.where(mmin > 0.0, t, FLT_MAX)
-                key = (
-                    jax.lax.bitcast_convert_type(tval, jnp.int32) & ~63
-                ) | iota6
-                kmin = jnp.min(key, axis=0, keepdims=True)  # [1, 128]
+                    mmin = jnp.minimum(
+                        jnp.minimum(q1, q2), jnp.minimum(q3, q4)
+                    )
+                    mmin = jnp.minimum(mmin, q5)
+                    # closest-hit rays are unit-length: |d|²==1, sd = q4+eps²
+                    t = q5 / (q4 + PLUCKER_EPS2)
+                    tval = jnp.where(mmin > 0.0, t, FLT_MAX)
+                    key = (
+                        jax.lax.bitcast_convert_type(tval, jnp.int32) & ~63
+                    ) | iota6
+                    kmin = jnp.min(key, axis=0, keepdims=True)  # [1, 128]
 
-                row = pl.ds(base + r, 1)
-                tq = jax.lax.bitcast_convert_type(kmin & ~63, jnp.float32)
-                prim_new = (c * tri_chunk + s * sub) + (kmin & 63)
-                upd = (kmin < _KEY_MISS) & (tq < dist_s[row, :])
-                dist_s[row, :] = jnp.where(upd, tq, dist_s[row, :])
-                prim_s[row, :] = jnp.where(upd, prim_new, prim_s[row, :])
+                    row = pl.ds(base + r, 1)
+                    tq = jax.lax.bitcast_convert_type(kmin & ~63, jnp.float32)
+                    prim_new = (c * tri_chunk + s * sub) + (kmin & 63)
+                    upd = (kmin < _KEY_MISS) & (tq < dist_s[row, :])
+                    dist_s[row, :] = jnp.where(upd, tq, dist_s[row, :])
+                    prim_s[row, :] = jnp.where(upd, prim_new, prim_s[row, :])
 
-            if use_mask:
-                pl.when((mask_ref[0, r, c] >> s) & 1 != 0)(_sweep)
-            else:
-                _sweep()
+                if use_mask:
+                    pl.when((mask_ref[0, r, c] >> s) & 1 != 0)(_sweep)
+                else:
+                    _sweep()
+
+    if use_mask:
+        # step-level union guard (see _plucker_kernel)
+        union = mask_ref[0, 0, c]
+        for r in range(1, RAY_BLOCK // 128):
+            union = union | mask_ref[0, r, c]
+        pl.when(union != 0)(_step_body)
+    else:
+        _step_body()
 
     @pl.when(c == n_chunks - 1)
     def _flush():
@@ -1477,31 +1512,43 @@ def _quad_occl_kernel(
         preferred_element_type=jnp.float32,
     )
 
-    for s in range(tri_chunk // sub):
-        for r in range(RAY_BLOCK // 128):
-            def _sweep(s=s, r=r):
-                f = f_ref[:, r * 128:(r + 1) * 128]  # [28, 128]
-                q = dot(c_ref[s], f)  # ONE [6*sub,28]@[28,128] f32 MXU op
-                q1 = q[0 * sub:1 * sub, :]
-                q2 = q[1 * sub:2 * sub, :]
-                q3 = q[2 * sub:3 * sub, :]
-                q4 = q[3 * sub:4 * sub, :]
-                q5 = q[4 * sub:5 * sub, :]
-                q6 = q[5 * sub:6 * sub, :]
+    def _step_body():
+        for s in range(tri_chunk // sub):
+            for r in range(RAY_BLOCK // 128):
+                def _sweep(s=s, r=r):
+                    f = f_ref[:, r * 128:(r + 1) * 128]  # [28, 128]
+                    q = dot(c_ref[s], f)  # ONE [6*sub,28]@[28,128] f32 MXU op
+                    q1 = q[0 * sub:1 * sub, :]
+                    q2 = q[1 * sub:2 * sub, :]
+                    q3 = q[2 * sub:3 * sub, :]
+                    q4 = q[3 * sub:4 * sub, :]
+                    q5 = q[4 * sub:5 * sub, :]
+                    q6 = q[5 * sub:6 * sub, :]
 
-                mmin = jnp.minimum(
-                    jnp.minimum(q1, q2), jnp.minimum(q3, q4)
-                )
-                mmin = jnp.minimum(mmin, jnp.minimum(q5, q6))
-                hit = mmin > 0.0
-                any_hit = jnp.max(hit.astype(jnp.int32), axis=0, keepdims=True)
-                row = pl.ds(base + r, 1)
-                occ_s[row, :] = occ_s[row, :] | any_hit
+                    mmin = jnp.minimum(
+                        jnp.minimum(q1, q2), jnp.minimum(q3, q4)
+                    )
+                    mmin = jnp.minimum(mmin, jnp.minimum(q5, q6))
+                    hit = mmin > 0.0
+                    any_hit = jnp.max(
+                        hit.astype(jnp.int32), axis=0, keepdims=True
+                    )
+                    row = pl.ds(base + r, 1)
+                    occ_s[row, :] = occ_s[row, :] | any_hit
 
-            if use_mask:
-                pl.when((mask_ref[0, r, c] >> s) & 1 != 0)(_sweep)
-            else:
-                _sweep()
+                if use_mask:
+                    pl.when((mask_ref[0, r, c] >> s) & 1 != 0)(_sweep)
+                else:
+                    _sweep()
+
+    if use_mask:
+        # step-level union guard (see _plucker_kernel)
+        union = mask_ref[0, 0, c]
+        for r in range(1, RAY_BLOCK // 128):
+            union = union | mask_ref[0, r, c]
+        pl.when(union != 0)(_step_body)
+    else:
+        _step_body()
 
     @pl.when(c == n_chunks - 1)
     def _flush():
