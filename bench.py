@@ -101,6 +101,41 @@ def bench(quick: bool = False, verbose: bool = True):
         results[f"{name}_pt_mrays"] = round(mrays, 2)
         log(f"[{name}] full PT {res}x{res} depth={depth}: {ms:.2f} ms/frame, {mrays:.1f} Mrays/s")
 
+        # batched steady state: block spp per dispatch (fori_loop in one
+        # jit) — the per-frame cost without the ~20 ms tunnel dispatch RTT,
+        # i.e. the honest analogue of the reference's on-GPU kernel timing
+        try:
+            from functools import partial as _partial
+
+            from radish_pt_tpu.render.renderer import _pt_batch
+
+            block = 2 if name == "teapot_hires" else 4
+            bfn = jax.jit(
+                _partial(_pt_batch, max_depth=depth, block=block),
+                donate_argnums=(3, 4),
+            )
+            n = res * res
+            pstate = {
+                "direct": jnp.zeros((n, 3), jnp.float32),
+                "indirect": jnp.zeros((n, 3), jnp.float32),
+            }
+
+            def pt_batched_step(i):
+                d, ind = bfn(ds, cam, i * block,
+                             pstate["direct"], pstate["indirect"], i * block)
+                pstate.update(direct=d, indirect=ind)
+                return d
+
+            ms_pb = _time_frames(
+                pt_batched_step, n_warmup=1, n_iter=2 if quick else 4
+            ) / block
+            results[f"{name}_pt_batched_ms"] = round(ms_pb, 3)
+            log(f"[{name}] full PT steady-state (batched x{block}): "
+                f"{ms_pb:.2f} ms/spp")
+        except Exception as e:  # noqa: BLE001
+            log(f"[{name} batched] FAILED: {type(e).__name__}: {e}")
+            results[f"{name}_batched_error"] = f"{type(e).__name__}: {e}"[:200]
+
         # ReSTIR frame (gbuffer + restir kernel), cornell only
         if name == "cornell":
           try:

@@ -84,6 +84,11 @@ class Settings:
     # debug
     check_nans: bool = False
     gbuffer_view: str = "albedo"  # albedo | normal | depth | motion
+    # denoiser AOV preview (reference Preview combo, preview.cpp:254-276):
+    # composed | input_direct | input_indirect | output_direct |
+    # output_indirect | direct_moment | indirect_moment | direct_variance |
+    # indirect_variance
+    preview_aov: str = "composed"
 
 
 @dataclass

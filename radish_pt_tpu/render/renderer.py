@@ -431,18 +431,20 @@ class Renderer:
                     levels=s.svgf_levels, sig_depth=sigmas[0],
                     sig_normal=sigmas[1], sig_luminance=sigmas[2],
                 )
-                return post.add_image(out_d, out_i), sd, si
+                return post.add_image(out_d, out_i), out_d, out_i, sd, si
 
             fn = self._get(
                 ("svgf_split", s.svgf_levels),
                 lambda: jax.jit(run_split),
             )
             with self.timer.time("denoise"):
-                out, self.svgf_direct, self.svgf_indirect = fn(
+                out, out_d, out_i, self.svgf_direct, self.svgf_indirect = fn(
                     image, indirect, self.svgf_direct, self.svgf_indirect,
                     self.gbuf, self.gbuf_last, self.cam,
                     jnp.asarray(self.first_frame), self._svgf_sigmas(),
                 )
+            # retained for the Output Direct/Indirect AOV previews
+            self._split_out = (out_d, out_i)
             if s.modulate:
                 out = post.modulate_albedo(out, self.gbuf.albedo)
             return out
@@ -649,8 +651,46 @@ class Renderer:
 
         load_checkpoint(self, path)
 
+    # AOV names of the reference's denoiser Preview combo
+    # (preview.cpp:254-276); "composed" is the normal display path.
+    PREVIEW_AOVS = (
+        "composed", "input_direct", "input_indirect", "output_direct",
+        "output_indirect", "direct_moment", "indirect_moment",
+        "direct_variance", "indirect_variance",
+    )
+
+    def preview_aov_image(self):
+        """The buffer selected by ``settings.preview_aov`` (HDR [N, 3]), or
+        None for "composed" / when the selected buffer isn't populated
+        (e.g. Output Direct before a split-SVGF frame ran)."""
+        view = getattr(self.settings, "preview_aov", "composed")
+        if view == "composed":
+            return None
+        n = self.n_pixels
+        if view == "input_direct":
+            return self.direct[:n]
+        if view == "input_indirect":
+            return self.indirect[:n]
+        if view in ("output_direct", "output_indirect"):
+            so = getattr(self, "_split_out", None)
+            if so is None:
+                return None  # populated by the split-SVGF display path
+            return so[0 if view == "output_direct" else 1][:n]
+        state = (self.svgf_direct if view.startswith("direct")
+                 else self.svgf_indirect)
+        m = state.accum_moment[:n]  # (mean lum, mean lum^2, history)
+        if view.endswith("_moment"):
+            hist = m[:, 2] / jnp.maximum(jnp.max(m[:, 2]), 1e-6)
+            return jnp.stack([m[:, 0], m[:, 1], hist], axis=-1)
+        var = jnp.maximum(m[:, 1] - m[:, 0] ** 2, 0.0)
+        var = var / jnp.maximum(jnp.max(var), 1e-12)
+        return jnp.repeat(var[:, None], 3, axis=-1)
+
     def current_image(self):
         s = self.settings
+        aov = self.preview_aov_image()
+        if aov is not None:
+            return aov
         if s.tracer in (Tracer.BVH_VISUALIZE, Tracer.GBUFFER_PREVIEW) or (
             s.denoiser != Denoiser.NONE
         ):

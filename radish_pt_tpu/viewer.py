@@ -16,6 +16,8 @@ Commands (reference key bindings, keyboard-ized):
   n             cycle denoiser (none -> gaussian -> eaw -> svgf)
   m             cycle tonemap (none -> filmic -> aces)
   g             cycle g-buffer view (albedo/normal/depth/motion)
+  v             cycle denoiser AOV preview (composed/input/output
+                direct+indirect/moments/variance — preview.cpp:254-276)
   r             reset accumulation
   <enter>       render another burst
   p [path]      save PNG        c [path]  save checkpoint
@@ -165,6 +167,10 @@ def main(argv=None) -> int:
             s.tone_mapping = tonemaps[(tonemaps.index(s.tone_mapping) + 1) % len(tonemaps)]
         elif cmd == "g":
             s.gbuffer_view = gviews[(gviews.index(s.gbuffer_view) + 1) % len(gviews)]
+        elif cmd == "v":
+            aovs = type(r).PREVIEW_AOVS
+            s.preview_aov = aovs[(aovs.index(s.preview_aov) + 1) % len(aovs)]
+            print(f"  [preview aov: {s.preview_aov}]")
         elif cmd == "r":
             r.reset_accumulation()
         elif cmd == "p":

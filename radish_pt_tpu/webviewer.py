@@ -248,6 +248,11 @@ def serve(r, port: int = 8000, spp_per_frame: int = 1, quality: int = 85):
         elif key == "g":
             s.gbuffer_view = gviews[
                 (gviews.index(s.gbuffer_view) + 1) % len(gviews)]
+        elif key == "v":
+            aovs = type(r).PREVIEW_AOVS
+            s.preview_aov = aovs[
+                (aovs.index(s.preview_aov) + 1) % len(aovs)]
+            print(f"[preview aov: {s.preview_aov}]")
         elif key in "[]":
             # luminance-sigma slider analogue (preview.cpp:261-267)
             f = 0.8 if key == "[" else 1.25

@@ -299,3 +299,35 @@ def test_svgf_pair_matches_two_filters(cornell):
     np.testing.assert_allclose(np.asarray(si1.accum_moment),
                                np.asarray(si0.accum_moment),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_preview_aov_buffers(cornell):
+    """The denoiser AOV preview combo (reference preview.cpp:254-276): every
+    mode yields a finite [N, 3] buffer once a split-SVGF frame ran, and
+    current_image() serves the selected AOV instead of the composed image."""
+    import numpy as np
+
+    from radish_pt_tpu.config import Denoiser, Settings, Tracer
+    from radish_pt_tpu.render.renderer import Renderer
+
+    ds, cam, desc = cornell
+    s = Settings(tracer=Tracer.STREAMED, denoiser=Denoiser.SVGF,
+                 trace_depth=2, denoiser_split=True)
+    r = Renderer(ds=ds, cam=cam, desc=desc, settings=s)
+    r.step()
+    r.step()
+    n = r.n_pixels
+
+    assert s.preview_aov == "composed"
+    assert r.preview_aov_image() is None
+    composed = np.asarray(r.current_image())
+
+    for view in Renderer.PREVIEW_AOVS[1:]:
+        s.preview_aov = view
+        buf = np.asarray(r.preview_aov_image())
+        assert buf.shape == (n, 3), view
+        assert np.isfinite(buf).all(), view
+        assert np.array_equal(np.asarray(r.current_image()), buf), view
+    # the raw direct accumulation is not the composed (denoised) output
+    s.preview_aov = "input_direct"
+    assert not np.array_equal(np.asarray(r.current_image()), composed)
