@@ -18,7 +18,8 @@ Commands (reference key bindings, keyboard-ized):
   g             cycle g-buffer view (albedo/normal/depth/motion)
   v             cycle denoiser AOV preview (composed/input/output
                 direct+indirect/moments/variance — preview.cpp:254-276)
-  r             reset accumulation
+  r             reset accumulation   o    toggle accumulate
+  fov D | aperture R | focal D | depth N   live camera / depth params
   <enter>       render another burst
   p [path]      save PNG        c [path]  save checkpoint
   i             print stats     x         quit (saves like Esc in the ref)
@@ -172,6 +173,23 @@ def main(argv=None) -> int:
             s.preview_aov = aovs[(aovs.index(s.preview_aov) + 1) % len(aovs)]
             print(f"  [preview aov: {s.preview_aov}]")
         elif cmd == "r":
+            r.reset_accumulation()
+        elif cmd == "o":
+            s.accumulate = not s.accumulate
+            print(f"  [accumulate: {s.accumulate}]")
+        elif cmd == "fov" and arg:
+            # reference FOV slider (preview.cpp:321-323); update_camera
+            # recomputes tan_fov_y from fov_y
+            r.update_camera(fov_y=float(arg))
+        elif cmd == "aperture" and arg:
+            # reference Aperture drag (preview.cpp:325-327)
+            r.update_camera(lens_radius=float(arg))
+        elif cmd == "focal" and arg:
+            # reference Focal drag (preview.cpp:328)
+            r.update_camera(focal_dist=float(arg))
+        elif cmd == "depth" and arg:
+            # reference Max Depth input (preview.cpp:294-296)
+            s.trace_depth = int(arg)
             r.reset_accumulation()
         elif cmd == "p":
             print(f"[saved {r.save(arg or None)}]")
