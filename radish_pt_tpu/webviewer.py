@@ -7,8 +7,8 @@ MJPEG ``multipart/x-mixed-replace`` stream — natively animated by every
 browser, no websocket or client dependency — and accepts the interactive
 commands the reference binds to keys/mouse:
 
-* keyboard: w/s/a/d/q/e move, h/l yaw, j/k pitch, t/n/m/g cycle
-  tracer/denoiser/tonemap/G-buffer view, r reset accumulation, p save PNG
+* keyboard: w/s/a/d/q/e move, h/l yaw, j/k pitch, t/n/m/g/v cycle
+  tracer/denoiser/tonemap/G-buffer view/denoiser AOV, r reset accumulation, p save PNG
 * mouse: drag orbits the camera (preview.cpp ``mouseButtonCallback`` /
   ``cursorPosCallback``), wheel dollies
 
@@ -43,13 +43,13 @@ body { background:#111; color:#ddd; font:13px monospace; margin:0;
 <img id="view" src="/stream" draggable="false">
 <div id="stats"></div>
 <div id="help">drag: orbit &middot; wheel: dolly &middot; wasdqe: move
-&middot; hjkl: yaw/pitch &middot; t/n/m/g: tracer/denoiser/tonemap/gview
+&middot; hjkl: yaw/pitch &middot; t/n/m/g/v: tracer/denoiser/tonemap/gview/aov
 &middot; [/]: luminance sigma &middot; r: reset &middot; p: save png</div>
 <script>
 const send = (path, body) => fetch(path, {method:'POST',
   headers:{'Content-Type':'application/json'}, body:JSON.stringify(body)});
 addEventListener('keydown', e => {
-  if ('wsadqehjkltnmgrp[]'.includes(e.key)) send('/key', {key:e.key});
+  if ('wsadqehjkltnmgvrp[]'.includes(e.key)) send('/key', {key:e.key});
 });
 const view = document.getElementById('view');
 let drag = null;
