@@ -111,7 +111,17 @@ def apply_compact_tuning(spec: str) -> None:
             raise SystemExit(
                 f"--compact-tuning: unknown key {k!r} "
                 f"(valid: {', '.join(COMPACT_TUNING)})")
-        COMPACT_TUNING[k] = int(v)
+        try:
+            iv = int(v)
+        except ValueError:
+            raise SystemExit(
+                f"--compact-tuning: {k} needs an integer, got {v!r}")
+        if k == "group" and iv not in (1, 2, 4, 8):
+            # a RAY_BLOCK is 8 rows; the row-group size must divide it
+            raise SystemExit("--compact-tuning: group must be 1, 2, 4 or 8")
+        if iv < 1:
+            raise SystemExit(f"--compact-tuning: {k} must be >= 1")
+        COMPACT_TUNING[k] = iv
 
 
 def main(argv=None) -> int:

@@ -416,6 +416,10 @@ class Renderer:
         noisier indirect estimate.  Both filters run inside ONE jit.
         """
         s = self.settings
+        # Output Direct/Indirect AOVs are only live while the split path
+        # below runs this frame; clear up front so switching denoisers
+        # doesn't serve a frozen stale pair
+        self._split_out = None
         if s.denoiser == Denoiser.NONE or self.gbuf is None:
             return image if indirect is None else post.add_image(image, indirect)
         if (
@@ -445,6 +449,7 @@ class Renderer:
                 )
             # retained for the Output Direct/Indirect AOV previews
             self._split_out = (out_d, out_i)
+            self._svgf_indirect_live = True
             if s.modulate:
                 out = post.modulate_albedo(out, self.gbuf.albedo)
             return out
@@ -676,6 +681,12 @@ class Renderer:
             if so is None:
                 return None  # populated by the split-SVGF display path
             return so[0 if view == "output_direct" else 1][:n]
+        if view.startswith("indirect") and not getattr(
+            self, "_svgf_indirect_live", False
+        ):
+            # only the split pipeline feeds the indirect history — an
+            # all-zeros state would render as a black frame "valid" data
+            return None
         state = (self.svgf_direct if view.startswith("direct")
                  else self.svgf_indirect)
         m = state.accum_moment[:n]  # (mean lum, mean lum^2, history)

@@ -261,6 +261,20 @@ def surface_info_from_t(ds: DeviceScene, prim_id, ray_o, ray_d, dist):
     return pos, norm, uvi, mat_id
 
 
+def _mxu_engines(ds: DeviceScene):
+    """Resolve the MXU intersection/occlusion entry points and their
+    trace-time tuning kwargs for ``ds.intersector`` (pallas_mxu scan kernel
+    or pallas_compact work-list kernel) — one place for all call sites."""
+    from ..accel.pallas_kernels import (
+        COMPACT_TUNING, intersect_plucker_compact, intersect_plucker_pallas,
+        occlusion_plucker_compact, occlusion_plucker_pallas)
+
+    if ds.intersector == "pallas_compact":
+        return (intersect_plucker_compact, occlusion_plucker_compact,
+                dict(COMPACT_TUNING))
+    return intersect_plucker_pallas, occlusion_plucker_pallas, {}
+
+
 def intersect(ds: DeviceScene, ray_o, ray_d, active=None) -> Interaction:
     """Closest hit + surface interpolation (DevScene::intersect, scene.h:262-301).
     Static dispatch over the scene's intersector (MXU Plücker sweep / Pallas
@@ -272,19 +286,16 @@ def intersect(ds: DeviceScene, ray_o, ray_d, active=None) -> Interaction:
     scalar branch.  Dead lanes return prim_id == NULL_PRIMITIVE.
     """
     if ds.intersector in ("pallas_mxu", "pallas_compact"):
-        from ..accel.pallas_kernels import (
-            COMPACT_TUNING, FLT_MAX, intersect_plucker_compact,
-            intersect_plucker_pallas)
+        from ..accel.pallas_kernels import FLT_MAX
 
+        isect, _, tuning = _mxu_engines(ds)
         tmax = None
         if active is not None:
             tmax = jnp.where(active, FLT_MAX, -FLT_MAX)
-        compact = ds.intersector == "pallas_compact"
-        isect = intersect_plucker_compact if compact else intersect_plucker_pallas
         prim, dist = isect(
             ds.tri_packed, ray_o, ray_d,
             tri_order=ds.tri_order, cluster_bounds=ds.cluster_bounds,
-            tmax=tmax, **(COMPACT_TUNING if compact else {}),
+            tmax=tmax, **tuning,
         )
         if active is not None:
             prim = jnp.where(active, prim, -1)
@@ -351,20 +362,17 @@ def intersect_sorted(ds: DeviceScene, ray_o, ray_d, active=None) -> Interaction:
         # sort then carries only 2 payload columns and the surface/material
         # interpolation happens in PIXEL order (same gather cost, ~8 fewer
         # sort columns)
-        from ..accel.pallas_kernels import (
-            COMPACT_TUNING, FLT_MAX, intersect_plucker_compact,
-            intersect_plucker_pallas)
+        from ..accel.pallas_kernels import FLT_MAX
 
+        isect, _, tuning = _mxu_engines(ds)
         tmax = None
         if active is not None:
             # dead lanes (sorted to the back) flag no clusters: tmax = -inf
             tmax = jnp.where(s[8], FLT_MAX, -FLT_MAX)
-        compact = ds.intersector == "pallas_compact"
-        isect = intersect_plucker_compact if compact else intersect_plucker_pallas
         prim_s, dist_s = isect(
             ds.tri_packed, o_s, d_s,
             tri_order=ds.tri_order, cluster_bounds=ds.cluster_bounds,
-            tmax=tmax, **(COMPACT_TUNING if compact else {}),
+            tmax=tmax, **tuning,
         )
         u = jax.lax.sort((lane_s, prim_s, dist_s), num_keys=1)
         prim, dist = u[1], u[2]
@@ -519,16 +527,11 @@ def test_occlusion_sorted(ds: DeviceScene, x, y, mask=None):
 def test_occlusion(ds: DeviceScene, x, y):
     """True where segment x->y is blocked (testOcclusion, scene.h:303-334)."""
     if ds.intersector in ("pallas_mxu", "pallas_compact"):
-        from ..accel.pallas_kernels import (
-            COMPACT_TUNING, occlusion_plucker_compact,
-            occlusion_plucker_pallas)
-
-        compact = ds.intersector == "pallas_compact"
-        occl = occlusion_plucker_compact if compact else occlusion_plucker_pallas
+        _, occl, tuning = _mxu_engines(ds)
         return occl(
             ds.tri_packed, x, y,
             tri_order=ds.tri_order, cluster_bounds=ds.cluster_bounds,
-            **(COMPACT_TUNING if compact else {}),
+            **tuning,
         )
     if ds.intersector == "pallas_brute":
         from ..accel.pallas_kernels import occlusion_brute_pallas

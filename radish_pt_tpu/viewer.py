@@ -128,17 +128,14 @@ def main(argv=None) -> int:
     stats()
     burst()
 
-    while True:
-        try:
-            line = input("radish> ").strip()
-        except (EOFError, KeyboardInterrupt):
-            line = "x"
-        cmd, _, arg = line.partition(" ")
+    def handle(cmd, arg):
+        """Dispatch one REPL command; returns "quit", "continue" or None
+        (None -> render another burst)."""
         s = r.settings
         if cmd == "x":
             path = r.save()
             print(f"[saved {path}]")
-            return 0
+            return "quit"
         elif cmd == "w":
             move(dz=move_step)
         elif cmd == "s" and not arg:
@@ -193,15 +190,34 @@ def main(argv=None) -> int:
             r.reset_accumulation()
         elif cmd == "p":
             print(f"[saved {r.save(arg or None)}]")
-            continue
+            return "continue"
         elif cmd == "c":
             print(f"[checkpoint {r.save_checkpoint(arg or 'render.ckpt.npz')}]")
-            continue
+            return "continue"
         elif cmd == "i":
             stats()
-            continue
+            return "continue"
         elif cmd not in ("", None):
             print("  unknown command; see header for keys")
+            return "continue"
+        return None
+
+    while True:
+        try:
+            line = input("radish> ").strip()
+        except (EOFError, KeyboardInterrupt):
+            line = "x"
+        cmd, _, arg = line.partition(" ")
+        try:
+            action = handle(cmd, arg)
+        except ValueError as e:
+            # a malformed numeric argument (e.g. "fov sixty") must not kill
+            # the session — the accumulated render would be lost
+            print(f"  [bad argument: {e}]")
+            continue
+        if action == "quit":
+            return 0
+        if action == "continue":
             continue
         burst()
         stats()

@@ -278,6 +278,13 @@ def serve(r, port: int = 8000, spp_per_frame: int = 1, quality: int = 85):
             disp = None
             for _ in range(spp_per_frame):
                 disp = r.step()
+            if r.settings.preview_aov != "composed":
+                # stream the selected denoiser AOV instead of the composed
+                # frame (the reference Preview combo drives the display too)
+                aov = r.preview_aov_image()
+                if aov is not None:
+                    disp = np.asarray(r._display_fn(r.settings.tone_mapping)(
+                        aov.reshape(r.cam.height, r.cam.width, 3)))
             dt = (time.time() - t0) / spp_per_frame * 1e3
             ema_ms = dt if ema_ms is None else 0.9 * ema_ms + 0.1 * dt
             s = r.settings
