@@ -122,8 +122,8 @@ def build_device_scene(
     bvh = build_bvh(tri_v.reshape(-1, 3))
 
     intersector = os.environ.get("RADISH_INTERSECTOR", "")
-    if intersector not in ("pallas_mxu", "pallas_compact", "pallas_brute",
-                           "bvh", "brute"):
+    if intersector not in ("pallas_mxu", "pallas_compact", "pallas_quad",
+                           "pallas_brute", "bvh", "brute"):
         from ..accel.pallas_kernels import PALLAS_MXU_MAX_TRIS, pallas_available
 
         if pallas_available() and num_tris <= PALLAS_MXU_MAX_TRIS:
@@ -181,7 +181,7 @@ def build_device_scene(
     mats = scene.materials if scene.materials else [HostMaterial()]
 
     sort_primaries = (
-        intersector in ("pallas_mxu", "pallas_compact")
+        intersector in ("pallas_mxu", "pallas_compact", "pallas_quad")
         and cluster_bounds is not None
         and os.environ.get("RADISH_SORT_PRIMARIES", "1") != "0"
     )

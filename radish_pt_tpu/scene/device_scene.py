@@ -263,15 +263,19 @@ def surface_info_from_t(ds: DeviceScene, prim_id, ray_o, ray_d, dist):
 
 def _mxu_engines(ds: DeviceScene):
     """Resolve the MXU intersection/occlusion entry points and their
-    trace-time tuning kwargs for ``ds.intersector`` (pallas_mxu scan kernel
-    or pallas_compact work-list kernel) — one place for all call sites."""
+    trace-time tuning kwargs for ``ds.intersector`` (pallas_mxu linear
+    Plücker scan, pallas_quad quadratic-feature scan, or pallas_compact
+    work-list kernel) — one place for all call sites."""
     from ..accel.pallas_kernels import (
         COMPACT_TUNING, intersect_plucker_compact, intersect_plucker_pallas,
-        occlusion_plucker_compact, occlusion_plucker_pallas)
+        intersect_quad_pallas, occlusion_plucker_compact,
+        occlusion_plucker_pallas, occlusion_quad_pallas)
 
     if ds.intersector == "pallas_compact":
         return (intersect_plucker_compact, occlusion_plucker_compact,
                 dict(COMPACT_TUNING))
+    if ds.intersector == "pallas_quad":
+        return intersect_quad_pallas, occlusion_quad_pallas, {}
     return intersect_plucker_pallas, occlusion_plucker_pallas, {}
 
 
@@ -285,7 +289,7 @@ def intersect(ds: DeviceScene, ray_o, ray_d, active=None) -> Interaction:
     sub-clusters and an all-dead 1024-ray block skips every sweep with a
     scalar branch.  Dead lanes return prim_id == NULL_PRIMITIVE.
     """
-    if ds.intersector in ("pallas_mxu", "pallas_compact"):
+    if ds.intersector in ("pallas_mxu", "pallas_compact", "pallas_quad"):
         from ..accel.pallas_kernels import FLT_MAX
 
         isect, _, tuning = _mxu_engines(ds)
@@ -357,7 +361,7 @@ def intersect_sorted(ds: DeviceScene, ray_o, ray_d, active=None) -> Interaction:
     o_s = jnp.stack(s[2:5], axis=-1)
     d_s = jnp.stack(s[5:8], axis=-1)
 
-    if ds.intersector in ("pallas_mxu", "pallas_compact"):
+    if ds.intersector in ("pallas_mxu", "pallas_compact", "pallas_quad"):
         # run just the (prim, dist) sweep on the sorted rays; the inverse
         # sort then carries only 2 payload columns and the surface/material
         # interpolation happens in PIXEL order (same gather cost, ~8 fewer
@@ -526,7 +530,7 @@ def test_occlusion_sorted(ds: DeviceScene, x, y, mask=None):
 
 def test_occlusion(ds: DeviceScene, x, y):
     """True where segment x->y is blocked (testOcclusion, scene.h:303-334)."""
-    if ds.intersector in ("pallas_mxu", "pallas_compact"):
+    if ds.intersector in ("pallas_mxu", "pallas_compact", "pallas_quad"):
         _, occl, tuning = _mxu_engines(ds)
         return occl(
             ds.tri_packed, x, y,

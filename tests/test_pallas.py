@@ -442,3 +442,22 @@ def test_compact_tuning_cli_spec():
     finally:
         COMPACT_TUNING.clear()
         COMPACT_TUNING.update(saved)
+
+
+def test_mxu_engine_dispatch():
+    """_mxu_engines maps each intersector string to its kernel pair and
+    only pallas_compact carries tuning kwargs."""
+    from radish_pt_tpu.accel import pallas_kernels as pk
+    from radish_pt_tpu.scene.device_scene import DeviceScene, _mxu_engines
+
+    ds = DeviceScene(intersector="pallas_mxu")
+    assert _mxu_engines(ds) == (
+        pk.intersect_plucker_pallas, pk.occlusion_plucker_pallas, {})
+    ds = DeviceScene(intersector="pallas_quad")
+    assert _mxu_engines(ds) == (
+        pk.intersect_quad_pallas, pk.occlusion_quad_pallas, {})
+    ds = DeviceScene(intersector="pallas_compact")
+    isect, occl, tuning = _mxu_engines(ds)
+    assert isect is pk.intersect_plucker_compact
+    assert occl is pk.occlusion_plucker_compact
+    assert tuning == pk.COMPACT_TUNING and tuning is not pk.COMPACT_TUNING

@@ -90,9 +90,9 @@ def main():
         if name not in scenes:
             continue
         ds, cam = scenes[name]
-        for engine in ("pallas_mxu", "pallas_compact"):
-            if name == "teapot_hires" and engine == "pallas_mxu":
-                continue  # dense scan at 111k tris: minutes
+        for engine in ("pallas_mxu", "pallas_quad", "pallas_compact"):
+            if name == "teapot_hires" and engine != "pallas_compact":
+                continue  # dense scans at 111k tris: minutes
             try:
                 ms = frame_ms(ds.replace(intersector=engine), cam)
                 print(f"  {name:14s} {engine:15s} {ms:8.2f} ms", flush=True)
