@@ -718,6 +718,12 @@ class Renderer:
         """Tonemap + gamma + save, X-mirrored like the reference
         (``saveImage``, main.cpp:122-161); filename embeds time + spp."""
         img = self.current_image().reshape(self.cam.height, self.cam.width, 3)
+        if path is not None and path.lower().endswith(".hdr"):
+            # raw Radiance RGBE output: no tonemap/gamma, same X mirror
+            from ..scene.image_io import write_hdr
+
+            write_hdr(path, np.asarray(img)[:, ::-1])
+            return os.path.abspath(path)
         disp = post.tonemap(img, self.settings.tone_mapping)
         disp = m.gamma_correction(disp)
         out = np.asarray(jnp.clip(disp, 0.0, 1.0))[:, ::-1]  # mirror X

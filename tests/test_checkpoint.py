@@ -103,3 +103,19 @@ def test_checkpoint_rejects_mismatched_layout(cornell, tmp_path):
     d = _make(cornell, Settings(encode_normal=True))
     with pytest.raises(ValueError, match="normal"):
         d.load_checkpoint(p2)
+
+
+def test_save_hdr_roundtrip(tmp_path, cornell):
+    """--out foo.hdr writes raw Radiance RGBE (no tonemap/gamma) that
+    read_hdr round-trips to the accumulation within RGBE quantization."""
+    from radish_pt_tpu.scene.image_io import read_hdr
+
+    r = _make(cornell)
+    r.step()
+    path = str(tmp_path / "out.hdr")
+    saved = r.save(path)
+    img = read_hdr(saved)[:, ::-1]  # undo the save-time X mirror
+    ref = np.asarray(r.current_image()).reshape(r.cam.height, r.cam.width, 3)
+    assert img.shape == ref.shape
+    # RGBE shares one exponent across rgb: ~1% relative error bound
+    np.testing.assert_allclose(img, ref, rtol=0.02, atol=1e-3)
