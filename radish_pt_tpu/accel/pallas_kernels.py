@@ -816,22 +816,27 @@ def _coarsen_bounds(cluster_bounds, g: int):
     return jnp.concatenate([lo, hi], axis=1)
 
 
-def _row_flags(cull_bounds, ray_o, ray_d, tmax, rows, lanes: int = 128):
-    """Per-(``lanes``-ray group, cull-unit) visit flags, bool [rows, C]:
-    exact per-ray slab test OR-reduced over the group (the exact union).
-    Callers keep C <= _PER_RAY_PREPASS_MAX via :func:`_coarsen_bounds`."""
-    n_pad = rows * lanes
+def _pad_rays(ray_o, ray_d, tmax, n_pad):
+    """Pad a wavefront to ``n_pad`` lanes.  Padding lanes get tmax=-inf so
+    their fake rays can never flag cull units (they inflated the work list
+    and could trip the dense fallback on odd-sized wavefronts)."""
     o = jnp.pad(ray_o, ((0, n_pad - ray_o.shape[0]), (0, 0)))
     d = jnp.pad(ray_d, ((0, n_pad - ray_d.shape[0]), (0, 0)),
                 constant_values=1.0)
-    # padding LANES always get tmax=-inf so their fake (0,0,0)->(1,1,1)
-    # rays can never flag units (they inflated the work list and could trip
-    # the dense fallback on odd-sized wavefronts)
     if tmax is None:
         tm = jnp.full((ray_o.shape[0],), FLT_MAX)
     else:
         tm = tmax
     tm = jnp.pad(tm, (0, n_pad - tm.shape[0]), constant_values=-FLT_MAX)
+    return o, d, tm
+
+
+def _row_flags(cull_bounds, o, d, tm, rows, lanes: int = 128):
+    """Per-(``lanes``-ray group, cull-unit) visit flags, bool [rows, C]:
+    exact per-ray slab test OR-reduced over the group (the exact union).
+    Rays are pre-padded (:func:`_pad_rays`) to rows*lanes.  Callers keep
+    C <= _PER_RAY_PREPASS_MAX via :func:`_coarsen_bounds`."""
+    n_pad = rows * lanes
     C = cull_bounds.shape[0]
     inv = 1.0 / jnp.where(jnp.abs(d) > 1e-12, d, 1e-12)
     tn = jnp.full((n_pad, C), -FLT_MAX)
@@ -843,6 +848,43 @@ def _row_flags(cull_bounds, ray_o, ray_d, tmax, rows, lanes: int = 128):
         tf = jnp.minimum(tf, jnp.maximum(a, b))
     hit = (tf >= jnp.maximum(tn, 0.0)) & (tn < tm[:, None])
     return hit.reshape(rows, lanes, C).any(axis=1)
+
+
+def _fine_masks(cluster_bounds, g, wrow, wsub, o, d, tm, rowblks, lanes):
+    """Per-work-item FINE-cluster visit bits, i32 [W] (bit s = fine cluster
+    s of the item's coarse unit).
+
+    When big scenes coarsen the prepass unit to g fine clusters
+    (:func:`_coarsen_bounds`), a flagged unit used to sweep all g*64
+    triangles; the epilogue is VPU-bound, so that multiplied frame cost by
+    the coarsening factor.  This second, COMPACTED refinement pass slab-
+    tests only the flagged (row group, unit) pairs against the unit's g
+    fine boxes — O(W * lanes * g), independent of the scene's total cluster
+    count — and the kernel then sweeps just the surviving 64-tri clusters."""
+    C_fine = cluster_bounds.shape[0]
+    pad = -C_fine % g
+    # inverted padding boxes: can never be flagged
+    lo = jnp.pad(cluster_bounds[:, 0:3], ((0, pad), (0, 0)),
+                 constant_values=FLT_MAX)
+    hi = jnp.pad(cluster_bounds[:, 3:6], ((0, pad), (0, 0)),
+                 constant_values=-FLT_MAX)
+    fine = jnp.concatenate([lo, hi], axis=1).reshape(-1, g, 6)
+    fb = fine[wsub]  # [W, g, 6]
+    o_g = o.reshape(rowblks, lanes, 3)[wrow]  # [W, lanes, 3]
+    d_g = d.reshape(rowblks, lanes, 3)[wrow]
+    tm_g = tm.reshape(rowblks, lanes)[wrow]
+    inv = 1.0 / jnp.where(jnp.abs(d_g) > 1e-12, d_g, 1e-12)
+    tn = jnp.full((wrow.shape[0], lanes, g), -FLT_MAX)
+    tf = jnp.full((wrow.shape[0], lanes, g), FLT_MAX)
+    for k in range(3):
+        a = (fb[:, None, :, k] - o_g[:, :, None, k]) * inv[:, :, None, k]
+        b = (fb[:, None, :, 3 + k] - o_g[:, :, None, k]) * inv[:, :, None, k]
+        tn = jnp.maximum(tn, jnp.minimum(a, b))
+        tf = jnp.minimum(tf, jnp.maximum(a, b))
+    hit = (tf >= jnp.maximum(tn, 0.0)) & (tn < tm_g[:, :, None])
+    bits = hit.any(axis=1).astype(jnp.int32)  # [W, g]
+    weights = (1 << jnp.arange(g, dtype=jnp.int32))[None]
+    return jnp.sum(bits * weights, axis=-1, dtype=jnp.int32)
 
 
 def _work_list(flags, w_max: int):
@@ -864,18 +906,24 @@ def _work_list(flags, w_max: int):
 
 
 def _plucker_compact_kernel(
-    row_ref, sub_ref, count_ref,  # scalar prefetch: i32 [W], [W], [1]
-    *refs,  # fan c_refs [1,4*sub,K], fan f_refs [K,group*128], then outputs
-    sub: int, bf16x3: bool, group: int, fan: int = 1,
+    packed_ref, fmask_ref, count_ref,  # scalar prefetch: i32 [W], [W], [1]
+    *refs,  # fan c_refs [1,g,4*F,K], fan f_refs [K,group*128], then outputs
+    bf16x3: bool, group: int, g: int, fan: int = 1,
 ):
     """``fan`` work items per grid step: each item k has its own coefficient
     and feature block (separate BlockSpecs index-mapped at w*fan+k), so one
     grid step performs ``fan`` MXU sweeps — amortizing the per-step pipeline
-    bookkeeping that dominates at 64-tri cull units."""
+    bookkeeping that dominates at 64-tri cull units.
+
+    Work-item words pack (row group << 8 | coarse unit); ``fmask`` bit s
+    gates the sweep of the unit's s-th FINE 64-tri cluster (g per unit), so
+    a coarsened prepass unit costs epilogue only for the fine clusters the
+    row group actually overlaps (the epilogue is the VPU bound)."""
     c_refs = refs[:fan]
     f_refs = refs[fan:2 * fan]
     prim_ref, dist_ref = refs[2 * fan], refs[2 * fan + 1]
     w = pl.program_id(0)
+    F = CLUSTER_SUB
 
     @pl.when(w == 0)
     def _init():
@@ -888,56 +936,70 @@ def _plucker_compact_kernel(
         preferred_element_type=jnp.float32,
     )
 
+    iota = jax.lax.broadcasted_iota(
+        jnp.int32, (F, group * 128), 0
+    ).astype(jnp.float32)
+
     for k in range(fan):
         item = w * fan + k
 
         @pl.when(item < count_ref[0])
         def _work(k=k, item=item):
-            # ONE [4*sub, K] @ [K, group*128] MXU op covers the row group
-            q = dot(c_refs[k][0], f_refs[k][...])
-            det = q[0 * sub:1 * sub, :]
-            bx = q[1 * sub:2 * sub, :]
-            by = q[2 * sub:3 * sub, :]
-            td = q[3 * sub:4 * sub, :]
+            p = packed_ref[item]
+            for s in range(g):
+                def _fine(k=k, s=s, p=p):
+                    # ONE [4*F, K] @ [K, group*128] MXU op per fine cluster
+                    q = dot(c_refs[k][0, s], f_refs[k][...])
+                    det = q[0 * F:1 * F, :]
+                    bx = q[1 * F:2 * F, :]
+                    by = q[2 * F:3 * F, :]
+                    td = q[3 * F:4 * F, :]
 
-            sd = det * det
-            v = jnp.minimum(bx * det, by * det)
-            v = jnp.minimum(v, sd - (bx + by) * det)
-            v = jnp.minimum(v, sd - PLUCKER_EPS2)
-            valid = (v >= 0.0) & (td * det > 0.0)
-            t = td / det
-            tval = jnp.where(valid, t, FLT_MAX)
+                    sd = det * det
+                    v = jnp.minimum(bx * det, by * det)
+                    v = jnp.minimum(v, sd - (bx + by) * det)
+                    v = jnp.minimum(v, sd - PLUCKER_EPS2)
+                    valid = (v >= 0.0) & (td * det > 0.0)
+                    t = td / det
+                    tval = jnp.where(valid, t, FLT_MAX)
 
-            iota = jax.lax.broadcasted_iota(jnp.int32, (sub, group * 128), 0)
-            ids = (sub_ref[item] * sub + iota).astype(jnp.float32)
-            tmin = jnp.min(tval, axis=0, keepdims=True)  # [1, group*128]
-            idmin = jnp.min(
-                jnp.where(tval == tmin, ids, FLT_MAX), axis=0, keepdims=True
-            )
-            # fold each 128-lane column slice into its output row (static
-            # unroll; a (1, group*128) -> (group, 128) reshape would be a lane
-            # relayout, slices are free)
-            for j in range(group):
-                col = slice(j * 128, (j + 1) * 128)
-                row = pl.ds(row_ref[item] * group + j, 1)
-                tj = tmin[:, col]
-                upd = (tj < dist_ref[row, :]) & (tj < FLT_MAX)
-                dist_ref[row, :] = jnp.where(upd, tj, dist_ref[row, :])
-                prim_ref[row, :] = jnp.where(
-                    upd, idmin[:, col].astype(jnp.int32), prim_ref[row, :]
-                )
+                    ids = (((p & 255) * g + s) * F + iota)
+                    tmin = jnp.min(tval, axis=0, keepdims=True)
+                    idmin = jnp.min(
+                        jnp.where(tval == tmin, ids, FLT_MAX),
+                        axis=0, keepdims=True,
+                    )
+                    # fold each 128-lane column slice into its output row
+                    # (static unroll; a (1, group*128) -> (group, 128)
+                    # reshape would be a lane relayout, slices are free)
+                    for j in range(group):
+                        col = slice(j * 128, (j + 1) * 128)
+                        row = pl.ds((p >> 8) * group + j, 1)
+                        tj = tmin[:, col]
+                        upd = (tj < dist_ref[row, :]) & (tj < FLT_MAX)
+                        dist_ref[row, :] = jnp.where(upd, tj, dist_ref[row, :])
+                        prim_ref[row, :] = jnp.where(
+                            upd, idmin[:, col].astype(jnp.int32),
+                            prim_ref[row, :],
+                        )
+
+                if g > 1:
+                    pl.when((fmask_ref[item] >> s) & 1 != 0)(_fine)
+                else:
+                    _fine()
 
 
 def _plucker_compact_occl_kernel(
-    row_ref, sub_ref, count_ref,  # scalar prefetch
+    packed_ref, fmask_ref, count_ref,  # scalar prefetch
     *refs,  # fan c_refs, fan f_refs, fan tm_refs, then occ_ref output
-    sub: int, bf16x3: bool, group: int, fan: int = 1,
+    bf16x3: bool, group: int, g: int, fan: int = 1,
 ):
     c_refs = refs[:fan]
     f_refs = refs[fan:2 * fan]
     tm_refs = refs[2 * fan:3 * fan]
     occ_ref = refs[3 * fan]  # [rows, 128] i32 FULL output, launch-resident
     w = pl.program_id(0)
+    F = CLUSTER_SUB
 
     @pl.when(w == 0)
     def _init():
@@ -954,48 +1016,66 @@ def _plucker_compact_occl_kernel(
 
         @pl.when(item < count_ref[0])
         def _work(k=k, item=item):
-            q = dot(c_refs[k][0], f_refs[k][...])
-            det = q[0 * sub:1 * sub, :]
-            bx = q[1 * sub:2 * sub, :]
-            by = q[2 * sub:3 * sub, :]
-            td = q[3 * sub:4 * sub, :]
+            p = packed_ref[item]
+            for s in range(g):
+                def _fine(k=k, s=s, p=p):
+                    q = dot(c_refs[k][0, s], f_refs[k][...])
+                    det = q[0 * F:1 * F, :]
+                    bx = q[1 * F:2 * F, :]
+                    by = q[2 * F:3 * F, :]
+                    td = q[3 * F:4 * F, :]
 
-            sd = det * det
-            v = jnp.minimum(bx * det, by * det)
-            v = jnp.minimum(v, sd - (bx + by) * det)
-            v = jnp.minimum(v, sd - PLUCKER_EPS2)
-            tdd = td * det
-            hit = (v >= 0.0) & (tdd > 0.0) & (tdd < tm_refs[k][...] * sd)
-            any_hit = jnp.max(hit.astype(jnp.int32), axis=0, keepdims=True)
-            for j in range(group):
-                col = slice(j * 128, (j + 1) * 128)
-                row = pl.ds(row_ref[item] * group + j, 1)
-                occ_ref[row, :] = occ_ref[row, :] | any_hit[:, col]
+                    sd = det * det
+                    v = jnp.minimum(bx * det, by * det)
+                    v = jnp.minimum(v, sd - (bx + by) * det)
+                    v = jnp.minimum(v, sd - PLUCKER_EPS2)
+                    tdd = td * det
+                    hit = (v >= 0.0) & (tdd > 0.0) & (
+                        tdd < tm_refs[k][...] * sd
+                    )
+                    any_hit = jnp.max(
+                        hit.astype(jnp.int32), axis=0, keepdims=True
+                    )
+                    for j in range(group):
+                        col = slice(j * 128, (j + 1) * 128)
+                        row = pl.ds((p >> 8) * group + j, 1)
+                        occ_ref[row, :] = occ_ref[row, :] | any_hit[:, col]
+
+                if g > 1:
+                    pl.when((fmask_ref[item] >> s) & 1 != 0)(_fine)
+                else:
+                    _fine()
 
 
-def _pad_work(wrow, wsub, fan: int):
+def _pad_work(packed, fmask, fan: int):
     """Pad the work lists to a multiple of ``fan`` (repeat entry 0: padded
     items are no-DMA revisits and scalar-skipped by the count guard)."""
-    pad = -wrow.shape[0] % fan
+    pad = -packed.shape[0] % fan
     if pad:
-        wrow = jnp.concatenate([wrow, jnp.broadcast_to(wrow[0], (pad,))])
-        wsub = jnp.concatenate([wsub, jnp.broadcast_to(wsub[0], (pad,))])
-    return wrow, wsub
+        packed = jnp.concatenate(
+            [packed, jnp.broadcast_to(packed[0], (pad,))]
+        )
+        fmask = jnp.concatenate([fmask, jnp.broadcast_to(fmask[0], (pad,))])
+    return packed, fmask
 
 
-def _compact_pallas_call(kernel, w_max, sub, kdim, rows, out_shapes,
+def _compact_pallas_call(kernel, w_max, g, kdim, rows, out_shapes,
                          group=1, with_tm=False, interpret=False, fan=1):
     """Shared PrefetchScalarGridSpec plumbing for the compact kernels.
 
-    ``fan`` work items ride each grid step (item k of step w is work-list
-    entry w*fan+k, with its own coefficient/feature BlockSpecs); callers pad
-    the work lists to fan*steps entries and pass the coeff/feat (and tmrow)
-    operands ``fan`` times — the duplicates alias the same HBM buffers."""
+    Work items arrive as ONE packed scalar word (row group << 8 | coarse
+    unit — units number <= _PER_RAY_PREPASS_MAX = 256 by construction), so
+    the SMEM prefetch footprint stays at two [W] arrays even with the fine
+    masks.  ``fan`` work items ride each grid step (item k of step w is
+    work-list entry w*fan+k, with its own coefficient/feature BlockSpecs);
+    callers pad the work lists to fan*steps entries and pass the coeff/feat
+    (and tmrow) operands ``fan`` times — the duplicates alias the same HBM
+    buffers."""
     steps = -(-w_max // fan)
     c_specs = [
         pl.BlockSpec(
-            (1, 4 * sub, kdim),
-            (lambda w, wrow, wsub, cnt, k=k: (wsub[w * fan + k], 0, 0)),
+            (1, g, 4 * CLUSTER_SUB, kdim),
+            (lambda w, pk, fm, cnt, k=k: (pk[w * fan + k] & 255, 0, 0, 0)),
             memory_space=pltpu.VMEM,
         )
         for k in range(fan)
@@ -1003,7 +1083,7 @@ def _compact_pallas_call(kernel, w_max, sub, kdim, rows, out_shapes,
     f_specs = [
         pl.BlockSpec(
             (kdim, group * 128),
-            (lambda w, wrow, wsub, cnt, k=k: (0, wrow[w * fan + k])),
+            (lambda w, pk, fm, cnt, k=k: (0, pk[w * fan + k] >> 8)),
             memory_space=pltpu.VMEM,
         )
         for k in range(fan)
@@ -1011,13 +1091,13 @@ def _compact_pallas_call(kernel, w_max, sub, kdim, rows, out_shapes,
     tm_specs = [
         pl.BlockSpec(
             (1, group * 128),
-            (lambda w, wrow, wsub, cnt, k=k: (0, wrow[w * fan + k])),
+            (lambda w, pk, fm, cnt, k=k: (0, pk[w * fan + k] >> 8)),
             memory_space=pltpu.VMEM,
         )
         for k in range(fan)
     ] if with_tm else []
     out_spec = pl.BlockSpec(
-        (rows, 128), lambda w, wrow, wsub, cnt: (0, 0),
+        (rows, 128), lambda w, pk, fm, cnt: (0, 0),
         memory_space=pltpu.VMEM,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1038,14 +1118,17 @@ def _compact_prepass(
 ):
     """Shared setup for both compact entry points: cull-unit coarsening,
     coefficient stacking, per-ray exact row flags, work-list compaction,
-    and the ray-feature matrix."""
+    per-item fine-cluster masks, and the ray-feature matrix."""
     n = ray_o.shape[0]
     num_tris = tri_packed.shape[0]
     if bf16x3 is None:
         bf16x3 = num_tris <= PLUCKER_BF16X3_MAX_TRIS
-    # big scenes: coarsen the cull unit (g fine clusters -> one work item)
+    # big scenes: coarsen the WORK-LIST unit (g fine clusters -> one item)
     # so the per-ray exact prepass stays <= _PER_RAY_PREPASS_MAX columns;
-    # each grid step then sweeps g*CLUSTER_SUB triangles in one MXU op
+    # a second compacted refinement (:func:`_fine_masks`) then gates each
+    # item's g fine 64-tri sweeps so the VPU epilogue never pays for the
+    # coarsening (measured 148 ms/sweep -> per-ray-floor territory at 111k
+    # tris, where a flagged 448-tri unit swept all 7 fine clusters).
     C_fine = cluster_bounds.shape[0]
     g = -(-C_fine // _PER_RAY_PREPASS_MAX)
     sub = CLUSTER_SUB * g
@@ -1068,14 +1151,24 @@ def _compact_prepass(
         tri_packed, center, jnp.arange(num_tris, dtype=jnp.int32)
     )[0:4]
     coeffs = jnp.pad(coeffs, ((0, 0), (0, t_pad - num_tris), (0, 0)))
-    coeffs = _stack4(coeffs, sub, bf16x3)  # [t_pad//sub, 4*sub, K]
+    # stack planes per FINE cluster, then group g fine blocks per unit so
+    # the kernel can matmul each fine cluster separately: [units, g, 4*F, K]
+    coeffs = _stack4(coeffs, CLUSTER_SUB, bf16x3)
+    coeffs = coeffs.reshape(t_pad // sub, g, *coeffs.shape[1:])
 
     assert rows % group == 0  # RAY_BLOCK = 8 rows; group in {1, 2, 4, 8}
     rowblks = rows // group
-    flags = _row_flags(cull_bounds, ray_o, ray_d, tmax, rowblks,
+    o_pad, d_pad, tm_pad = _pad_rays(ray_o, ray_d, tmax, n_pad)
+    flags = _row_flags(cull_bounds, o_pad, d_pad, tm_pad, rowblks,
                        lanes=group * 128)
     w_max = min(rowblks * work_per_row, rowblks * cull_bounds.shape[0])
     wrow, wsub, count = _work_list(flags, w_max)
+    packed = (wrow << 8) | wsub  # units <= 256 by construction
+    if g > 1:
+        fmask = _fine_masks(cluster_bounds, g, wrow, wsub,
+                            o_pad, d_pad, tm_pad, rowblks, group * 128)
+    else:
+        fmask = jnp.ones_like(packed)
 
     o = ray_o - center
     m = jnp.cross(o, ray_d)
@@ -1087,10 +1180,10 @@ def _compact_prepass(
     feats = _split_feats(feats.T, bf16x3)  # [K, N_pad]
 
     return {
-        "tri_packed": tri_packed, "bf16x3": bf16x3, "sub": sub,
+        "tri_packed": tri_packed, "bf16x3": bf16x3, "g": g,
         "rows": rows, "n_pad": n_pad, "kdim": 30 if bf16x3 else 10,
         "coeffs": coeffs, "feats": feats,
-        "wrow": wrow, "wsub": wsub, "count": count, "w_max": w_max,
+        "packed": packed, "fmask": fmask, "count": count, "w_max": w_max,
     }
 
 
@@ -1140,21 +1233,23 @@ def intersect_plucker_compact(
     )
     tri_packed = pp["tri_packed"]
     bf16x3 = pp["bf16x3"]
-    sub = pp["sub"]
+    g = pp["g"]
     rows = pp["rows"]
     n_pad = pp["n_pad"]
     kdim = pp["kdim"]
     coeffs, feats = pp["coeffs"], pp["feats"]
-    wrow, wsub, count, w_max = pp["wrow"], pp["wsub"], pp["count"], pp["w_max"]
+    packed, fmask, count, w_max = (
+        pp["packed"], pp["fmask"], pp["count"], pp["w_max"]
+    )
 
     row_shape = (rows, 128)
 
     def compact(_):
-        wr, ws = _pad_work(wrow, wsub, fan)
+        pk, fm = _pad_work(packed, fmask, fan)
         call = _compact_pallas_call(
-            functools.partial(_plucker_compact_kernel, sub=sub,
+            functools.partial(_plucker_compact_kernel, g=g,
                               bf16x3=bf16x3, group=group, fan=fan),
-            w_max, sub, kdim, rows,
+            w_max, g, kdim, rows,
             out_shapes=[
                 jax.ShapeDtypeStruct(row_shape, jnp.int32),
                 jax.ShapeDtypeStruct(row_shape, jnp.float32),
@@ -1162,7 +1257,7 @@ def intersect_plucker_compact(
             group=group,
             interpret=interpret, fan=fan,
         )
-        return call(wr, ws, count, *([coeffs] * fan), *([feats] * fan))
+        return call(pk, fm, count, *([coeffs] * fan), *([feats] * fan))
 
     def dense(_):
         p, t = intersect_plucker_pallas(
@@ -1229,29 +1324,31 @@ def occlusion_plucker_compact(
     )
     tri_packed = pp["tri_packed"]
     bf16x3 = pp["bf16x3"]
-    sub = pp["sub"]
+    g = pp["g"]
     rows = pp["rows"]
     n_pad = pp["n_pad"]
     kdim = pp["kdim"]
     coeffs, feats = pp["coeffs"], pp["feats"]
-    wrow, wsub, count, w_max = pp["wrow"], pp["wsub"], pp["count"], pp["w_max"]
+    packed, fmask, count, w_max = (
+        pp["packed"], pp["fmask"], pp["count"], pp["w_max"]
+    )
     tmrow = jnp.pad(max_dist, (0, n_pad - n), constant_values=-FLT_MAX)
     tmrow = tmrow[None, :]  # [1, N_pad] f32
 
     row_shape = (rows, 128)
 
     def compact(_):
-        wr, ws = _pad_work(wrow, wsub, fan)
+        pk, fm = _pad_work(packed, fmask, fan)
         call = _compact_pallas_call(
-            functools.partial(_plucker_compact_occl_kernel, sub=sub,
+            functools.partial(_plucker_compact_occl_kernel, g=g,
                               bf16x3=bf16x3, group=group, fan=fan),
-            w_max, sub, kdim, rows,
+            w_max, g, kdim, rows,
             out_shapes=[jax.ShapeDtypeStruct(row_shape, jnp.int32)],
             group=group,
             with_tm=True,
             interpret=interpret, fan=fan,
         )
-        return call(wr, ws, count,
+        return call(pk, fm, count,
                     *([coeffs] * fan), *([feats] * fan), *([tmrow] * fan))[0]
 
     def dense(_):

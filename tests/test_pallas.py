@@ -370,10 +370,11 @@ def test_coarsened_prepass_conservative(scene_rays):
     tri_packed, ray_o, ray_d = scene_rays
     cb = _make_cluster_bounds(tri_packed)
     rows = -(-ray_o.shape[0] // 128)
-    fine = np.asarray(pk._row_flags(cb, ray_o, ray_d, None, rows))
+    o, d, tm = pk._pad_rays(ray_o, ray_d, None, rows * 128)
+    fine = np.asarray(pk._row_flags(cb, o, d, tm, rows))
     g = 3
     coarse = np.asarray(
-        pk._row_flags(pk._coarsen_bounds(cb, g), ray_o, ray_d, None, rows)
+        pk._row_flags(pk._coarsen_bounds(cb, g), o, d, tm, rows)
     )
     C = fine.shape[1]
     fine_up = np.zeros_like(coarse)
