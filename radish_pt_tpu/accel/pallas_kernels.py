@@ -331,12 +331,17 @@ def _plucker_kernel(
                     td = q[3 * sub:4 * sub, :]
 
                     sd = det * det
-                    v = jnp.minimum(bx * det, by * det)
-                    v = jnp.minimum(v, sd - (bx + by) * det)
+                    bxd = bx * det
+                    byd = by * det
+                    v = jnp.minimum(bxd, byd)
+                    v = jnp.minimum(v, sd - bxd - byd)
                     v = jnp.minimum(v, sd - PLUCKER_EPS2)
-                    valid = (v >= 0.0) & (td * det > 0.0)
-                    t = td / det
-                    tval = jnp.where(valid, t, FLT_MAX)
+                    tdd = td * det
+                    valid = (v >= 0.0) & (tdd > 0.0)
+                    # t = td/det = tdd/sd via rsqrt (div is the single most
+                    # expensive epilogue op); sd=0 lanes are invalid-masked
+                    rs = jax.lax.rsqrt(sd)
+                    tval = jnp.where(valid, tdd * rs * rs, FLT_MAX)
 
                     tmin = jnp.min(tval, axis=0, keepdims=True)  # [1, 128]
                     idmin = jnp.min(
@@ -421,8 +426,10 @@ def _plucker_occl_kernel(
                     td = q[3 * sub:4 * sub, :]
 
                     sd = det * det
-                    v = jnp.minimum(bx * det, by * det)
-                    v = jnp.minimum(v, sd - (bx + by) * det)
+                    bxd = bx * det
+                    byd = by * det
+                    v = jnp.minimum(bxd, byd)
+                    v = jnp.minimum(v, sd - bxd - byd)
                     v = jnp.minimum(v, sd - PLUCKER_EPS2)
                     tdd = td * det
                     tm = tm_ref[:, r * 128:(r + 1) * 128]  # [1, 128] f32
@@ -793,14 +800,20 @@ COMPACT_MAX_LANES = 640 * 1024  # out blocks resident in VMEM: 8 B/lane
 # intersector is "pallas_compact".  Mutate at startup (CLI --compact-tuning,
 # or after a tools/tpu_triage.py sweep): values are read at TRACE time, so
 # they must be set before the first jit of a render loop.
-COMPACT_TUNING = {"work_per_row": 24, "group": 4, "fan": 1}
-# cull-unit count the per-ray slab prepass is sized for; bigger scenes
-# COARSEN the cull unit (consecutive fine clusters merge) instead of
-# degrading to interval/cone tests.  Measured on teapot_hires (111k tris,
-# 1,738 fine clusters): a row-cone prepass flags ~650/1738 units (~120x
-# looser than exact, always overflowing any budget -> dense fallback);
-# the per-ray exact test at the same granularity flags 5.4/ray.
+COMPACT_TUNING = {"work_per_row": 24, "group": 2, "fan": 1}
+# cull-unit count the per-ray slab prepass is sized for (the slab test
+# materializes [rays, C] f32 intermediates, so it must stay narrow).
+# Bigger scenes switch to the MXU SPHERE prepass (below): exact per-ray
+# ray-vs-bounding-sphere tests at FINE 64-tri granularity as one matmul,
+# so no coarsening of the work unit is needed until _SPHERE_UNIT_MAX.
+# Round-1 history: a row-cone prepass at 111k tris flagged ~650/1738 units
+# (~120x looser than exact -> permanent dense fallback); the per-ray exact
+# test at the same granularity flags 5.4/ray.
 _PER_RAY_PREPASS_MAX = 256
+# sphere-prepass unit ceiling: above this many fine clusters, g consecutive
+# fine clusters merge into one work unit (the sphere test and the sweep
+# both coarsen; exact fine gating above ~262k tris is a round-3 item).
+_SPHERE_UNIT_MAX = 4096
 
 
 def _coarsen_bounds(cluster_bounds, g: int):
@@ -850,41 +863,165 @@ def _row_flags(cull_bounds, o, d, tm, rows, lanes: int = 128):
     return hit.reshape(rows, lanes, C).any(axis=1)
 
 
-def _fine_masks(cluster_bounds, g, wrow, wsub, o, d, tm, rowblks, lanes):
-    """Per-work-item FINE-cluster visit bits, i32 [W] (bit s = fine cluster
-    s of the item's coarse unit).
+# --- MXU sphere prepass -----------------------------------------------------
+#
+# For C > _PER_RAY_PREPASS_MAX cull units, the per-ray slab test's
+# [rays, C] f32 intermediates get too big — but an EXACT per-ray
+# ray-vs-bounding-SPHERE test is bilinear in (per-unit constants, per-ray
+# features), so the whole [rays, C] visibility problem is one MXU matmul.
+# With unit-length d, o taken relative to the scene center, m = o x d:
+#
+#   dist^2(ray, p) = |d x (p - o)|^2 = |p|^2|d|^2 - (d.p)^2 + 2 p.(m x d) + |m|^2
+#   t*             = d.p - d.o              (closest-approach parameter)
+#
+# Three affine decision planes, each a dot of 16 ray features
+# [dd6, (m x d)3, |m|^2, d.o, d3, tm, 1]:
+#
+#   A = r^2 - dist^2          >= 0   (ray line passes within r of center)
+#   C = t* + r                >= 0   (sphere not entirely behind the origin)
+#   E = tm - t* + r           >= 0   (sphere window starts before tmax)
+#
+# hit iff min(A, C, E) >= 0.  The sphere (center = box center, r = half
+# diagonal + slack) contains the cluster AABB, and the t-window uses the
+# conservative half-width r >= sqrt(r^2 - dist^2), so flags are a strict
+# superset of the exact slab flags: never a false miss.  Requires |d| = 1
+# (all engine callers normalize); the |p|^2|d|^2 term is carried exactly
+# through the dd features so A tolerates small normalization error.
 
-    When big scenes coarsen the prepass unit to g fine clusters
-    (:func:`_coarsen_bounds`), a flagged unit used to sweep all g*64
-    triangles; the epilogue is VPU-bound, so that multiplied frame cost by
-    the coarsening factor.  This second, COMPACTED refinement pass slab-
-    tests only the flagged (row group, unit) pairs against the unit's g
-    fine boxes — O(W * lanes * g), independent of the scene's total cluster
-    count — and the kernel then sweeps just the surviving 64-tri clusters."""
-    C_fine = cluster_bounds.shape[0]
-    pad = -C_fine % g
-    # inverted padding boxes: can never be flagged
-    lo = jnp.pad(cluster_bounds[:, 0:3], ((0, pad), (0, 0)),
-                 constant_values=FLT_MAX)
-    hi = jnp.pad(cluster_bounds[:, 3:6], ((0, pad), (0, 0)),
-                 constant_values=-FLT_MAX)
-    fine = jnp.concatenate([lo, hi], axis=1).reshape(-1, g, 6)
-    fb = fine[wsub]  # [W, g, 6]
-    o_g = o.reshape(rowblks, lanes, 3)[wrow]  # [W, lanes, 3]
-    d_g = d.reshape(rowblks, lanes, 3)[wrow]
-    tm_g = tm.reshape(rowblks, lanes)[wrow]
-    inv = 1.0 / jnp.where(jnp.abs(d_g) > 1e-12, d_g, 1e-12)
-    tn = jnp.full((wrow.shape[0], lanes, g), -FLT_MAX)
-    tf = jnp.full((wrow.shape[0], lanes, g), FLT_MAX)
-    for k in range(3):
-        a = (fb[:, None, :, k] - o_g[:, :, None, k]) * inv[:, :, None, k]
-        b = (fb[:, None, :, 3 + k] - o_g[:, :, None, k]) * inv[:, :, None, k]
-        tn = jnp.maximum(tn, jnp.minimum(a, b))
-        tf = jnp.minimum(tf, jnp.maximum(a, b))
-    hit = (tf >= jnp.maximum(tn, 0.0)) & (tn < tm_g[:, :, None])
-    bits = hit.any(axis=1).astype(jnp.int32)  # [W, g]
-    weights = (1 << jnp.arange(g, dtype=jnp.int32))[None]
-    return jnp.sum(bits * weights, axis=-1, dtype=jnp.int32)
+_SPHERE_K = 16
+
+
+_SPHERE_NEG = -1e37  # "never flags" (finite: -FLT_MAX would become -inf
+#                      in bf16 and poison the matmul via 0 * inf)
+
+
+def _sphere_feats(o, d, tm):
+    """Per-ray sphere-test features, f32 [N, 16] (see block comment).
+    tm is clamped to +-1e37 so its bf16 hi part stays finite."""
+    mm = jnp.cross(o, d)
+    dd6 = jnp.stack(
+        [d[:, 0] * d[:, 0], d[:, 1] * d[:, 1], d[:, 2] * d[:, 2],
+         d[:, 0] * d[:, 1], d[:, 0] * d[:, 2], d[:, 1] * d[:, 2]],
+        axis=1,
+    )
+    md = jnp.cross(mm, d)
+    m2 = jnp.sum(mm * mm, axis=1, keepdims=True)
+    do = jnp.sum(d * o, axis=1, keepdims=True)
+    one = jnp.ones_like(m2)
+    tmc = jnp.clip(tm, -1e37, 1e37)
+    return jnp.concatenate(
+        [dd6, md, m2, do, d, tmc[:, None], one], axis=1
+    )
+
+
+def _sphere_plane_coeffs(unit_bounds, center):
+    """[3, 16, C] plane-coefficient matrices (A, C, E) for the sphere
+    prepass.  ``unit_bounds`` [C, 6] may contain inverted padding boxes
+    (lo=+inf): those units get a -1e37 constant term and can never flag.
+
+    The slack terms keep the test conservative under the bf16x3 matmul
+    (~2^-17 relative per product; terms are O(scale^2) for A, O(scale)
+    for C/E, so a 2e-4 * scale^n margin covers the worst-case sum)."""
+    lo, hi = unit_bounds[:, 0:3], unit_bounds[:, 3:6]
+    valid = jnp.all(hi >= lo, axis=1)
+    lo = jnp.where(valid[:, None], lo, 0.0)
+    hi = jnp.where(valid[:, None], hi, 0.0)
+    p = 0.5 * (lo + hi) - center[None]  # [C, 3] rel scene center
+    r = 0.5 * jnp.linalg.norm(hi - lo, axis=1)  # half diagonal
+    scale = jnp.max(jnp.where(valid, jnp.linalg.norm(p, axis=1) + r, 0.0))
+    pp = jnp.sum(p * p, axis=1)
+    rr = r * r + 2e-4 * scale * scale + 1e-12
+    rl = r + 2e-4 * scale + 1e-6
+    z = jnp.zeros_like(r)
+    # A: [dd: p_i p_j - |p|^2 delta_ij] . dd6 - 2 p . md - m2 + r^2
+    a = jnp.stack(
+        [p[:, 0] ** 2 - pp, p[:, 1] ** 2 - pp, p[:, 2] ** 2 - pp,
+         2 * p[:, 0] * p[:, 1], 2 * p[:, 0] * p[:, 2],
+         2 * p[:, 1] * p[:, 2],
+         -2 * p[:, 0], -2 * p[:, 1], -2 * p[:, 2],
+         -jnp.ones_like(r), z,
+         z, z, z, z,
+         jnp.where(valid, rr, _SPHERE_NEG)],
+        axis=1,
+    )
+    # C: t* + r = p . d - d.o + r
+    c = jnp.stack(
+        [z, z, z, z, z, z, z, z, z, z, -jnp.ones_like(r),
+         p[:, 0], p[:, 1], p[:, 2], z,
+         jnp.where(valid, rl, _SPHERE_NEG)],
+        axis=1,
+    )
+    # E: tm - t* + r = tm - p . d + d.o + r
+    e = jnp.stack(
+        [z, z, z, z, z, z, z, z, z, z, jnp.ones_like(r),
+         -p[:, 0], -p[:, 1], -p[:, 2], jnp.ones_like(r),
+         jnp.where(valid, rl, _SPHERE_NEG)],
+        axis=1,
+    )
+    return jnp.stack([a, c, e]).transpose(0, 2, 1)  # [3, 16, C]
+
+
+def _sphere_flag_kernel(f_ref, a_ref, c_ref, e_ref, out_ref, *, lanes):
+    """One (cluster tile, 8 row groups) step: 3 MXU ops + min + per-group
+    any-reduce (8 row groups per step so the out block is (8, ctile)).
+    Inputs are bf16x3-split (K = 48): single-pass bf16 matmuls with ~2^-17
+    relative error, covered by the coefficients' slack terms."""
+    dot = lambda x, w: jax.lax.dot_general(  # noqa: E731
+        x, w, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    f = f_ref[...]
+    v = jnp.minimum(dot(f, a_ref[...]), dot(f, c_ref[...]))
+    v = jnp.minimum(v, dot(f, e_ref[...]))
+    hit = (v >= 0.0).astype(jnp.int32)
+    for j in range(8):
+        out_ref[j:j + 1, :] = jnp.max(
+            hit[j * lanes:(j + 1) * lanes], axis=0, keepdims=True
+        )
+
+
+def _sphere_flags(unit_bounds, center, o, d, tm, rowblks, lanes,
+                  interpret=False):
+    """Exact per-ray sphere visit flags, bool [rowblks, C_pad]: the MXU
+    prepass for big scenes.  Rays pre-padded to rowblks*lanes (dead/padding
+    lanes have tm = -inf, so plane E kills them)."""
+    C = unit_bounds.shape[0]
+    # v intermediate is (8*lanes, ctile) f32: hold it at ~4 MB as the
+    # group (lanes) grows
+    ctile = min(-(-C // 128) * 128, max(128, (131072 // lanes) // 128 * 128))
+    C_pad = -(-C // ctile) * ctile
+    planes = _sphere_plane_coeffs(unit_bounds, center)
+    planes = jnp.pad(planes, ((0, 0), (0, 0), (0, C_pad - C)),
+                     constant_values=_SPHERE_NEG)  # padding units never flag
+    p_hi = planes.astype(jnp.bfloat16)
+    p_lo = (planes - p_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    planes = jnp.concatenate([p_hi, p_hi, p_lo], axis=1)  # [3, 48, C_pad]
+    feats = _sphere_feats(o, d, tm)  # [rowblks*lanes, 16]
+    f_hi = feats.astype(jnp.bfloat16)
+    f_lo = (feats - f_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    feats = jnp.concatenate([f_hi, f_lo, f_hi], axis=1)  # [N, 48]
+    rb_pad = -(-rowblks // 8) * 8
+    if rb_pad != rowblks:  # zero-feature pad rows flag; sliced off below
+        feats = jnp.pad(feats, ((0, (rb_pad - rowblks) * lanes), (0, 0)))
+    grid = (C_pad // ctile, rb_pad // 8)
+    f_spec = pl.BlockSpec((8 * lanes, 3 * _SPHERE_K), lambda ct, rb: (rb, 0),
+                          memory_space=pltpu.VMEM)
+    p_spec = pl.BlockSpec((3 * _SPHERE_K, ctile), lambda ct, rb: (0, ct),
+                          memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((8, ctile), lambda ct, rb: (rb, ct),
+                            memory_space=pltpu.VMEM)
+    flags = pl.pallas_call(
+        functools.partial(_sphere_flag_kernel, lanes=lanes),
+        grid=grid,
+        in_specs=[f_spec, p_spec, p_spec, p_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((rb_pad, C_pad), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(feats, planes[0], planes[1], planes[2])
+    return flags[:rowblks] != 0
 
 
 def _work_list(flags, w_max: int):
@@ -906,24 +1043,24 @@ def _work_list(flags, w_max: int):
 
 
 def _plucker_compact_kernel(
-    packed_ref, fmask_ref, count_ref,  # scalar prefetch: i32 [W], [W], [1]
+    packed_ref, count_ref,  # scalar prefetch: i32 [W], [1]
     *refs,  # fan c_refs [1,g,4*F,K], fan f_refs [K,group*128], then outputs
-    bf16x3: bool, group: int, g: int, fan: int = 1,
+    bf16x3: bool, group: int, g: int, unit_bits: int, fan: int = 1,
 ):
     """``fan`` work items per grid step: each item k has its own coefficient
     and feature block (separate BlockSpecs index-mapped at w*fan+k), so one
     grid step performs ``fan`` MXU sweeps — amortizing the per-step pipeline
     bookkeeping that dominates at 64-tri cull units.
 
-    Work-item words pack (row group << 8 | coarse unit); ``fmask`` bit s
-    gates the sweep of the unit's s-th FINE 64-tri cluster (g per unit), so
-    a coarsened prepass unit costs epilogue only for the fine clusters the
-    row group actually overlaps (the epilogue is the VPU bound)."""
+    Work-item words pack (row group << unit_bits | cull unit).  A unit is
+    g consecutive fine 64-tri clusters (g == 1 up to _SPHERE_UNIT_MAX fine
+    clusters — the sphere prepass flags at fine granularity directly)."""
     c_refs = refs[:fan]
     f_refs = refs[fan:2 * fan]
     prim_ref, dist_ref = refs[2 * fan], refs[2 * fan + 1]
     w = pl.program_id(0)
     F = CLUSTER_SUB
+    umask = (1 << unit_bits) - 1
 
     @pl.when(w == 0)
     def _init():
@@ -956,14 +1093,17 @@ def _plucker_compact_kernel(
                     td = q[3 * F:4 * F, :]
 
                     sd = det * det
-                    v = jnp.minimum(bx * det, by * det)
-                    v = jnp.minimum(v, sd - (bx + by) * det)
+                    bxd = bx * det
+                    byd = by * det
+                    v = jnp.minimum(bxd, byd)
+                    v = jnp.minimum(v, sd - bxd - byd)
                     v = jnp.minimum(v, sd - PLUCKER_EPS2)
-                    valid = (v >= 0.0) & (td * det > 0.0)
-                    t = td / det
-                    tval = jnp.where(valid, t, FLT_MAX)
+                    tdd = td * det
+                    valid = (v >= 0.0) & (tdd > 0.0)
+                    rs = jax.lax.rsqrt(sd)  # t = tdd/sd without the divide
+                    tval = jnp.where(valid, tdd * rs * rs, FLT_MAX)
 
-                    ids = (((p & 255) * g + s) * F + iota)
+                    ids = (((p & umask) * g + s) * F + iota)
                     tmin = jnp.min(tval, axis=0, keepdims=True)
                     idmin = jnp.min(
                         jnp.where(tval == tmin, ids, FLT_MAX),
@@ -974,7 +1114,7 @@ def _plucker_compact_kernel(
                     # reshape would be a lane relayout, slices are free)
                     for j in range(group):
                         col = slice(j * 128, (j + 1) * 128)
-                        row = pl.ds((p >> 8) * group + j, 1)
+                        row = pl.ds((p >> unit_bits) * group + j, 1)
                         tj = tmin[:, col]
                         upd = (tj < dist_ref[row, :]) & (tj < FLT_MAX)
                         dist_ref[row, :] = jnp.where(upd, tj, dist_ref[row, :])
@@ -983,16 +1123,13 @@ def _plucker_compact_kernel(
                             prim_ref[row, :],
                         )
 
-                if g > 1:
-                    pl.when((fmask_ref[item] >> s) & 1 != 0)(_fine)
-                else:
-                    _fine()
+                _fine()
 
 
 def _plucker_compact_occl_kernel(
-    packed_ref, fmask_ref, count_ref,  # scalar prefetch
+    packed_ref, count_ref,  # scalar prefetch
     *refs,  # fan c_refs, fan f_refs, fan tm_refs, then occ_ref output
-    bf16x3: bool, group: int, g: int, fan: int = 1,
+    bf16x3: bool, group: int, g: int, unit_bits: int, fan: int = 1,
 ):
     c_refs = refs[:fan]
     f_refs = refs[fan:2 * fan]
@@ -1000,6 +1137,7 @@ def _plucker_compact_occl_kernel(
     occ_ref = refs[3 * fan]  # [rows, 128] i32 FULL output, launch-resident
     w = pl.program_id(0)
     F = CLUSTER_SUB
+    umask = (1 << unit_bits) - 1
 
     @pl.when(w == 0)
     def _init():
@@ -1026,8 +1164,10 @@ def _plucker_compact_occl_kernel(
                     td = q[3 * F:4 * F, :]
 
                     sd = det * det
-                    v = jnp.minimum(bx * det, by * det)
-                    v = jnp.minimum(v, sd - (bx + by) * det)
+                    bxd = bx * det
+                    byd = by * det
+                    v = jnp.minimum(bxd, byd)
+                    v = jnp.minimum(v, sd - bxd - byd)
                     v = jnp.minimum(v, sd - PLUCKER_EPS2)
                     tdd = td * det
                     hit = (v >= 0.0) & (tdd > 0.0) & (
@@ -1038,44 +1178,42 @@ def _plucker_compact_occl_kernel(
                     )
                     for j in range(group):
                         col = slice(j * 128, (j + 1) * 128)
-                        row = pl.ds((p >> 8) * group + j, 1)
+                        row = pl.ds((p >> unit_bits) * group + j, 1)
                         occ_ref[row, :] = occ_ref[row, :] | any_hit[:, col]
 
-                if g > 1:
-                    pl.when((fmask_ref[item] >> s) & 1 != 0)(_fine)
-                else:
-                    _fine()
+                _fine()
 
 
-def _pad_work(packed, fmask, fan: int):
-    """Pad the work lists to a multiple of ``fan`` (repeat entry 0: padded
+def _pad_work(packed, fan: int):
+    """Pad the work list to a multiple of ``fan`` (repeat entry 0: padded
     items are no-DMA revisits and scalar-skipped by the count guard)."""
     pad = -packed.shape[0] % fan
     if pad:
         packed = jnp.concatenate(
             [packed, jnp.broadcast_to(packed[0], (pad,))]
         )
-        fmask = jnp.concatenate([fmask, jnp.broadcast_to(fmask[0], (pad,))])
-    return packed, fmask
+    return packed
 
 
 def _compact_pallas_call(kernel, w_max, g, kdim, rows, out_shapes,
-                         group=1, with_tm=False, interpret=False, fan=1):
+                         unit_bits=8, group=1, with_tm=False,
+                         interpret=False, fan=1):
     """Shared PrefetchScalarGridSpec plumbing for the compact kernels.
 
-    Work items arrive as ONE packed scalar word (row group << 8 | coarse
-    unit — units number <= _PER_RAY_PREPASS_MAX = 256 by construction), so
-    the SMEM prefetch footprint stays at two [W] arrays even with the fine
-    masks.  ``fan`` work items ride each grid step (item k of step w is
-    work-list entry w*fan+k, with its own coefficient/feature BlockSpecs);
-    callers pad the work lists to fan*steps entries and pass the coeff/feat
-    (and tmrow) operands ``fan`` times — the duplicates alias the same HBM
-    buffers."""
+    Work items arrive as ONE packed scalar word
+    (row group << unit_bits | cull unit), so the SMEM prefetch footprint is
+    a single [W] i32 array (plus the count) — that is what bounds the work
+    budget (~1 MB SMEM on v5e).  ``fan`` work items ride each grid step
+    (item k of step w is work-list entry w*fan+k, with its own
+    coefficient/feature BlockSpecs); callers pad the work lists to
+    fan*steps entries and pass the coeff/feat (and tmrow) operands ``fan``
+    times — the duplicates alias the same HBM buffers."""
     steps = -(-w_max // fan)
+    umask = (1 << unit_bits) - 1
     c_specs = [
         pl.BlockSpec(
             (1, g, 4 * CLUSTER_SUB, kdim),
-            (lambda w, pk, fm, cnt, k=k: (pk[w * fan + k] & 255, 0, 0, 0)),
+            (lambda w, pk, cnt, k=k: (pk[w * fan + k] & umask, 0, 0, 0)),
             memory_space=pltpu.VMEM,
         )
         for k in range(fan)
@@ -1083,7 +1221,7 @@ def _compact_pallas_call(kernel, w_max, g, kdim, rows, out_shapes,
     f_specs = [
         pl.BlockSpec(
             (kdim, group * 128),
-            (lambda w, pk, fm, cnt, k=k: (0, pk[w * fan + k] >> 8)),
+            (lambda w, pk, cnt, k=k: (0, pk[w * fan + k] >> unit_bits)),
             memory_space=pltpu.VMEM,
         )
         for k in range(fan)
@@ -1091,17 +1229,17 @@ def _compact_pallas_call(kernel, w_max, g, kdim, rows, out_shapes,
     tm_specs = [
         pl.BlockSpec(
             (1, group * 128),
-            (lambda w, pk, fm, cnt, k=k: (0, pk[w * fan + k] >> 8)),
+            (lambda w, pk, cnt, k=k: (0, pk[w * fan + k] >> unit_bits)),
             memory_space=pltpu.VMEM,
         )
         for k in range(fan)
     ] if with_tm else []
     out_spec = pl.BlockSpec(
-        (rows, 128), lambda w, pk, fm, cnt: (0, 0),
+        (rows, 128), lambda w, pk, cnt: (0, 0),
         memory_space=pltpu.VMEM,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(steps,),
         in_specs=[*c_specs, *f_specs, *tm_specs],
         out_specs=[out_spec] * len(out_shapes),
@@ -1114,29 +1252,34 @@ def _compact_pallas_call(kernel, w_max, g, kdim, rows, out_shapes,
 
 def _compact_prepass(
     tri_packed, ray_o, ray_d, tri_order, cluster_bounds, tmax,
-    bf16x3, work_per_row, group, feat_pad_value,
+    bf16x3, work_per_row, group, feat_pad_value, interpret=False,
 ):
-    """Shared setup for both compact entry points: cull-unit coarsening,
-    coefficient stacking, per-ray exact row flags, work-list compaction,
-    per-item fine-cluster masks, and the ray-feature matrix."""
+    """Shared setup for both compact entry points: coefficient stacking,
+    per-ray exact visit flags (slab test for small scenes, MXU sphere test
+    at fine 64-tri granularity above _PER_RAY_PREPASS_MAX clusters),
+    work-list compaction, and the ray-feature matrix."""
     n = ray_o.shape[0]
     num_tris = tri_packed.shape[0]
     if bf16x3 is None:
         bf16x3 = num_tris <= PLUCKER_BF16X3_MAX_TRIS
-    # big scenes: coarsen the WORK-LIST unit (g fine clusters -> one item)
-    # so the per-ray exact prepass stays <= _PER_RAY_PREPASS_MAX columns;
-    # a second compacted refinement (:func:`_fine_masks`) then gates each
-    # item's g fine 64-tri sweeps so the VPU epilogue never pays for the
-    # coarsening (measured 148 ms/sweep -> per-ray-floor territory at 111k
-    # tris, where a flagged 448-tri unit swept all 7 fine clusters).
     C_fine = cluster_bounds.shape[0]
-    g = -(-C_fine // _PER_RAY_PREPASS_MAX)
+    # the work unit stays ONE fine 64-tri cluster until _SPHERE_UNIT_MAX
+    # fine clusters (~262k tris); only beyond that do g clusters merge
+    # (the sphere prepass is exact per ray at any unit count — the cap
+    # bounds its [rowblks, C_pad] flag matrix and the SMEM work budget).
+    g = -(-C_fine // _SPHERE_UNIT_MAX)
     sub = CLUSTER_SUB * g
+    use_sphere = C_fine > _PER_RAY_PREPASS_MAX
     cull_bounds = (cluster_bounds if g == 1
                    else _coarsen_bounds(cluster_bounds, g))
-    if g > 1:
-        # coarse units are a larger fraction of the scene per row; give the
-        # list headroom so real scenes don't trip the dense fallback
+    C_units = cull_bounds.shape[0]
+    # wide enough for the sphere prepass's padded flag width (<= next
+    # multiple of its max 1024-cluster tile)
+    unit_bits = max(8, (-(-C_units // 1024) * 1024 - 1).bit_length())
+    if use_sphere:
+        # fine-granularity units are a larger share of the scene per row;
+        # give the list headroom so real scenes don't trip the dense
+        # fallback (SMEM bounds packed at ~200k words)
         work_per_row = max(work_per_row, 40)
     t_pad = -(-num_tris // sub) * sub
     n_pad = -(-n // RAY_BLOCK) * RAY_BLOCK
@@ -1159,16 +1302,16 @@ def _compact_prepass(
     assert rows % group == 0  # RAY_BLOCK = 8 rows; group in {1, 2, 4, 8}
     rowblks = rows // group
     o_pad, d_pad, tm_pad = _pad_rays(ray_o, ray_d, tmax, n_pad)
-    flags = _row_flags(cull_bounds, o_pad, d_pad, tm_pad, rowblks,
-                       lanes=group * 128)
-    w_max = min(rowblks * work_per_row, rowblks * cull_bounds.shape[0])
-    wrow, wsub, count = _work_list(flags, w_max)
-    packed = (wrow << 8) | wsub  # units <= 256 by construction
-    if g > 1:
-        fmask = _fine_masks(cluster_bounds, g, wrow, wsub,
-                            o_pad, d_pad, tm_pad, rowblks, group * 128)
+    if use_sphere:
+        flags = _sphere_flags(cull_bounds, center, o_pad - center, d_pad,
+                              tm_pad, rowblks, lanes=group * 128,
+                              interpret=interpret)
     else:
-        fmask = jnp.ones_like(packed)
+        flags = _row_flags(cull_bounds, o_pad, d_pad, tm_pad, rowblks,
+                           lanes=group * 128)
+    w_max = min(rowblks * work_per_row, rowblks * C_units)
+    wrow, wsub, count = _work_list(flags, w_max)
+    packed = (wrow << unit_bits) | wsub
 
     o = ray_o - center
     m = jnp.cross(o, ray_d)
@@ -1181,9 +1324,10 @@ def _compact_prepass(
 
     return {
         "tri_packed": tri_packed, "bf16x3": bf16x3, "g": g,
+        "unit_bits": unit_bits,
         "rows": rows, "n_pad": n_pad, "kdim": 30 if bf16x3 else 10,
         "coeffs": coeffs, "feats": feats,
-        "packed": packed, "fmask": fmask, "count": count, "w_max": w_max,
+        "packed": packed, "count": count, "w_max": w_max,
     }
 
 
@@ -1195,7 +1339,7 @@ def intersect_plucker_compact(
     tri_packed, ray_o, ray_d,
     tri_order=None, cluster_bounds=None, tmax=None,
     interpret: bool = False, bf16x3: bool | None = None,
-    work_per_row: int = 24, group: int = 4, fan: int = 1,
+    work_per_row: int = 24, group: int = 2, fan: int = 1,
 ):
     """Closest hit via the compacted work-list MXU sweep.
 
@@ -1230,34 +1374,35 @@ def intersect_plucker_compact(
     pp = _compact_prepass(
         tri_packed, ray_o, ray_d, tri_order, cluster_bounds, tmax,
         bf16x3, work_per_row, group, feat_pad_value=1.0,
+        interpret=interpret,
     )
     tri_packed = pp["tri_packed"]
     bf16x3 = pp["bf16x3"]
     g = pp["g"]
+    unit_bits = pp["unit_bits"]
     rows = pp["rows"]
     n_pad = pp["n_pad"]
     kdim = pp["kdim"]
     coeffs, feats = pp["coeffs"], pp["feats"]
-    packed, fmask, count, w_max = (
-        pp["packed"], pp["fmask"], pp["count"], pp["w_max"]
-    )
+    packed, count, w_max = pp["packed"], pp["count"], pp["w_max"]
 
     row_shape = (rows, 128)
 
     def compact(_):
-        pk, fm = _pad_work(packed, fmask, fan)
+        pk = _pad_work(packed, fan)
         call = _compact_pallas_call(
             functools.partial(_plucker_compact_kernel, g=g,
-                              bf16x3=bf16x3, group=group, fan=fan),
+                              bf16x3=bf16x3, group=group,
+                              unit_bits=unit_bits, fan=fan),
             w_max, g, kdim, rows,
             out_shapes=[
                 jax.ShapeDtypeStruct(row_shape, jnp.int32),
                 jax.ShapeDtypeStruct(row_shape, jnp.float32),
             ],
-            group=group,
+            unit_bits=unit_bits, group=group,
             interpret=interpret, fan=fan,
         )
-        return call(pk, fm, count, *([coeffs] * fan), *([feats] * fan))
+        return call(pk, count, *([coeffs] * fan), *([feats] * fan))
 
     def dense(_):
         p, t = intersect_plucker_pallas(
@@ -1292,7 +1437,7 @@ def occlusion_plucker_compact(
     tri_packed, x, y,
     tri_order=None, cluster_bounds=None,
     interpret: bool = False, bf16x3: bool | None = None,
-    work_per_row: int = 24, group: int = 4, fan: int = 1,
+    work_per_row: int = 24, group: int = 2, fan: int = 1,
 ):
     """Any-hit segment query via the compacted work-list sweep — twin of
     :func:`occlusion_plucker_pallas` (see intersect_plucker_compact for the
@@ -1321,34 +1466,35 @@ def occlusion_plucker_compact(
     pp = _compact_prepass(
         tri_packed, ray_o, ray_d, tri_order, cluster_bounds, max_dist,
         bf16x3, work_per_row, group, feat_pad_value=0.0,
+        interpret=interpret,
     )
     tri_packed = pp["tri_packed"]
     bf16x3 = pp["bf16x3"]
     g = pp["g"]
+    unit_bits = pp["unit_bits"]
     rows = pp["rows"]
     n_pad = pp["n_pad"]
     kdim = pp["kdim"]
     coeffs, feats = pp["coeffs"], pp["feats"]
-    packed, fmask, count, w_max = (
-        pp["packed"], pp["fmask"], pp["count"], pp["w_max"]
-    )
+    packed, count, w_max = pp["packed"], pp["count"], pp["w_max"]
     tmrow = jnp.pad(max_dist, (0, n_pad - n), constant_values=-FLT_MAX)
     tmrow = tmrow[None, :]  # [1, N_pad] f32
 
     row_shape = (rows, 128)
 
     def compact(_):
-        pk, fm = _pad_work(packed, fmask, fan)
+        pk = _pad_work(packed, fan)
         call = _compact_pallas_call(
             functools.partial(_plucker_compact_occl_kernel, g=g,
-                              bf16x3=bf16x3, group=group, fan=fan),
+                              bf16x3=bf16x3, group=group,
+                              unit_bits=unit_bits, fan=fan),
             w_max, g, kdim, rows,
             out_shapes=[jax.ShapeDtypeStruct(row_shape, jnp.int32)],
-            group=group,
+            unit_bits=unit_bits, group=group,
             with_tm=True,
             interpret=interpret, fan=fan,
         )
-        return call(pk, fm, count,
+        return call(pk, count,
                     *([coeffs] * fan), *([feats] * fan), *([tmrow] * fan))[0]
 
     def dense(_):

@@ -362,6 +362,79 @@ def test_compact_occlusion_matches_brute(scene_rays):
     np.testing.assert_array_equal(np.asarray(o1), np.asarray(o0))
 
 
+def test_sphere_path_matches_brute(scene_rays, monkeypatch):
+    """Force the MXU sphere prepass on the small fixture (monkeypatched
+    cluster threshold): intersect + occlusion + dead lanes + tri_order all
+    agree with brute force through the sphere path."""
+    import radish_pt_tpu.accel.pallas_kernels as pk
+
+    monkeypatch.setattr(pk, "_PER_RAY_PREPASS_MAX", 0)
+    tri_packed, ray_o, ray_d = scene_rays
+    cb = _make_cluster_bounds(tri_packed)
+    p0, d0, _ = trv.intersect_brute(tri_packed, ray_o, ray_d)
+    p1, d1 = pk.intersect_plucker_compact(
+        tri_packed, ray_o, ray_d, cluster_bounds=cb, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p0))
+    hits = np.asarray(p0) >= 0
+    np.testing.assert_allclose(
+        np.asarray(d1)[hits], np.asarray(d0)[hits], rtol=5e-3
+    )
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(-4, 4, size=(64, 3)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(-4, 4, size=(64, 3)).astype(np.float32))
+    o0 = trv.occlusion_brute(tri_packed, x, y)
+    o1 = pk.occlusion_plucker_compact(
+        tri_packed, x, y, cluster_bounds=cb, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o0))
+
+    # dead lanes + permuted storage order
+    order = jnp.asarray(
+        rng.permutation(tri_packed.shape[0]).astype(np.int32))
+    cb_perm = _make_cluster_bounds(tri_packed[order])
+    active = np.zeros(ray_o.shape[0], bool)
+    active[::3] = True
+    tmax = jnp.where(jnp.asarray(active), pk.FLT_MAX, -pk.FLT_MAX)
+    p2, _ = pk.intersect_plucker_compact(
+        tri_packed, ray_o, ray_d, tri_order=order, cluster_bounds=cb_perm,
+        tmax=tmax, interpret=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(p2)[active], np.asarray(p0)[active]
+    )
+
+
+def test_sphere_flags_superset_of_slab():
+    """The sphere prepass flags must be a superset of the exact slab flags
+    (bounding sphere contains the AABB; conservative t window): a false
+    miss in the prepass would silently drop intersections."""
+    import radish_pt_tpu.accel.pallas_kernels as pk
+
+    rng = np.random.default_rng(9)
+    centers = rng.uniform(-5, 5, size=(16, 1, 3)).repeat(64, axis=0)
+    soup = (centers + rng.normal(scale=0.3, size=(1024, 3, 3))).astype(
+        np.float32)
+    tri_packed = jnp.asarray(trv.pack_tris(soup))
+    ray_o = jnp.asarray(rng.uniform(-8, 8, size=(256, 3)).astype(np.float32))
+    ray_d = rng.normal(size=(256, 3)).astype(np.float32)
+    ray_d = jnp.asarray(ray_d / np.linalg.norm(ray_d, axis=-1, keepdims=True))
+    cb = jnp.asarray(_make_cluster_bounds(tri_packed))
+    rows = -(-ray_o.shape[0] // 128)
+    o, d, tm = pk._pad_rays(ray_o, ray_d, None, rows * 128)
+    slab = np.asarray(pk._row_flags(cb, o, d, tm, rows))
+    v0 = tri_packed[:, 0:3]
+    center = 0.5 * (v0.min(axis=0) + v0.max(axis=0))
+    sphere = np.asarray(
+        pk._sphere_flags(cb, center, o - center, d, tm, rows, 128,
+                         interpret=True)
+    )[:, :slab.shape[1]]
+    assert (sphere | slab == sphere).all()  # superset
+    # and not trivially all-true (the test would be vacuous)
+    assert sphere.mean() < 0.9
+
+
 def test_coarsened_prepass_conservative(scene_rays):
     """Coarsened cull-unit flags must be a superset of the fine flags
     (merging AABBs can only widen the slab test)."""
