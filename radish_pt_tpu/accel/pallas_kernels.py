@@ -2017,8 +2017,12 @@ def _quad_occl_launch(coeffs, center, ray_o, seg, cluster_bounds, *,
 PALLAS_BRUTE_MAX_TRIS = 16384
 
 # The MXU Plücker sweep runs ~3x faster (~21 G pairs/s, epilogue-bound), so
-# its crossover against the lockstep walk sits ~3x higher.
-PALLAS_MXU_MAX_TRIS = 65536
+# its crossover against the lockstep walk sits ~3x higher.  Above 65k the
+# scan still beats the compacted work-list engine (measured at 111k tris,
+# round 2: fine-granularity flag counts overflow any SMEM-fittable work
+# budget, so compact degenerates to scan + wasted prepass); the scan's own
+# ceiling is its (ray block x chunk) grid — ~1.2M steps at 1M tris.
+PALLAS_MXU_MAX_TRIS = 131072
 
 
 def pallas_available() -> bool:

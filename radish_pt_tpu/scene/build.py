@@ -131,9 +131,10 @@ def build_device_scene(
             # ~17 ops/pair VPU epilogue — ~3x the VPU dense sweep
             intersector = "pallas_mxu"
         elif pallas_available():
-            # >65k tris: the chunk-scan sweep walks every (row, chunk) pair;
-            # the compacted work-list kernel only walks flagged pairs, so
-            # its cost follows the per-ray cluster count, not the scene size
+            # >131k tris: the scan grid (ray blocks x chunks) gets too big;
+            # the compacted work-list kernel walks only flagged pairs (its
+            # exact per-ray MXU sphere prepass is O(rays x clusters) but
+            # matmul-cheap).  Known-slow tier — see BASELINE.md round-2 notes
             intersector = "pallas_compact"
         elif use_bvh:
             intersector = "bvh"

@@ -186,32 +186,22 @@ def test_compact_intersector_dispatch(monkeypatch):
     assert calls == ["intersect", "intersect", "occlusion"]
 
 
-def test_big_scene_picks_compact(monkeypatch):
-    """Scene build auto-selects the compact intersector above the MXU-scan
-    triangle ceiling when a TPU is present (VERDICT round 1, Missing #1)."""
+def test_big_scene_picks_mxu_scan(monkeypatch):
+    """Scene build keeps the MXU scan up to PALLAS_MXU_MAX_TRIS (raised to
+    131072 in round 2 — at 111k tris the scan with tile-order lanes beats
+    the compact engine, whose fine-granularity flag counts overflow any
+    SMEM-fittable work budget) and only goes compact beyond it."""
     import radish_pt_tpu.accel.pallas_kernels as pk
     from radish_pt_tpu.scene import build as sbuild
 
     monkeypatch.setattr(pk, "pallas_available", lambda: True)
-    tri_v = np.asarray(
-        np.random.default_rng(0).uniform(0, 1, (pk.PALLAS_MXU_MAX_TRIS + 8, 3, 3)),
-        np.float32,
-    )
-
-    class FakeScene:
-        pass
-
-    # go through the public selector logic only: call build via a tiny
-    # synthetic SceneDesc would drag in materials/lights; instead check the
-    # branch condition directly
-    assert pk.PALLAS_MXU_MAX_TRIS + 8 > pk.PALLAS_MXU_MAX_TRIS
-    # and that a real >65k scene builds with the compact intersector
+    # a real 111k-tri scene builds with the scan intersector + clusters
     from radish_pt_tpu.scene.parser import parse_scene
     import os
     if os.path.exists("scenes/teapot_hires.txt"):
         ds, cam = sbuild.build_device_scene(
             parse_scene("scenes/teapot_hires.txt"))
-        assert ds.intersector == "pallas_compact"
+        assert ds.intersector == "pallas_mxu"
         assert ds.cluster_bounds is not None
 
 
