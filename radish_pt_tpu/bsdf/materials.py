@@ -155,25 +155,41 @@ def _metallic_pdf(mat, n, wo, wi):
     return diff_pdf * (1.0 - spec_w) + spec_pdf * spec_w
 
 
-def bsdf_eval(mat: SurfaceMaterial, n, wo, wi):
+def bsdf_eval(mat: SurfaceMaterial, n, wo, wi, types=None):
     """f(wo, wi) — Material::BSDF (material.h:235-246).  Dielectric and Light
-    contribute zero (delta / emissive)."""
-    lam = _lambertian_eval(mat, n, wo, wi)
-    met = _metallic_eval(mat, n, wo, wi)
+    contribute zero (delta / emissive).
+
+    ``types``: static tuple of material types present in the scene
+    (DeviceScene.mat_types) — lobes of absent types are not computed.  The
+    vectorized dispatch evaluates every lobe and selects, so a
+    Lambertian-only scene otherwise pays the full GGX chain per lane (the
+    RIS-32 candidate loop evaluates this 32x per pixel)."""
     t = mat.mtype[..., None]
-    return jnp.where(
-        t == MAT_LAMBERTIAN, lam, jnp.where(t == MAT_METALLIC_WORKFLOW, met, 0.0)
-    )
+    out = jnp.zeros_like(mat.base_color)
+    if types is None or MAT_METALLIC_WORKFLOW in types:
+        out = jnp.where(
+            t == MAT_METALLIC_WORKFLOW, _metallic_eval(mat, n, wo, wi), out
+        )
+    if types is None or MAT_LAMBERTIAN in types:
+        out = jnp.where(
+            t == MAT_LAMBERTIAN, _lambertian_eval(mat, n, wo, wi), out
+        )
+    return out
 
 
-def bsdf_pdf(mat: SurfaceMaterial, n, wo, wi):
+def bsdf_pdf(mat: SurfaceMaterial, n, wo, wi, types=None):
     """pdf(wo, wi) — Material::pdf (material.h:248-258)."""
-    lam = _lambertian_pdf(mat, n, wo, wi)
-    met = _metallic_pdf(mat, n, wo, wi)
     t = mat.mtype
-    return jnp.where(
-        t == MAT_LAMBERTIAN, lam, jnp.where(t == MAT_METALLIC_WORKFLOW, met, 0.0)
-    )
+    out = jnp.zeros_like(mat.roughness)
+    if types is None or MAT_METALLIC_WORKFLOW in types:
+        out = jnp.where(
+            t == MAT_METALLIC_WORKFLOW, _metallic_pdf(mat, n, wo, wi), out
+        )
+    if types is None or MAT_LAMBERTIAN in types:
+        out = jnp.where(
+            t == MAT_LAMBERTIAN, _lambertian_pdf(mat, n, wo, wi), out
+        )
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -181,80 +197,86 @@ def bsdf_pdf(mat: SurfaceMaterial, n, wo, wi):
 # ---------------------------------------------------------------------------
 
 
-def bsdf_sample(mat: SurfaceMaterial, n, wo, r3) -> BSDFSample:
+def bsdf_sample(mat: SurfaceMaterial, n, wo, r3, types=None) -> BSDFSample:
     """Sample an outgoing direction for every lane — Material::sample
-    (material.h:260-275).  r3: [N, 3] uniforms."""
-    # --- Lambertian ---
-    lam_dir = m.cosine_sample_hemisphere(n, r3[..., 0], r3[..., 1])
-    lam = BSDFSample(
-        dir=lam_dir,
-        bsdf=mat.base_color * m.INV_PI,
-        pdf=m.sat_dot(n, lam_dir) * m.INV_PI,
-        type=jnp.full(n.shape[:-1], DIFFUSE | REFLECTION, jnp.int32),
-    )
-
-    # --- MetallicWorkflow ---
-    alpha = mat.roughness * mat.roughness
-    h = ggx_sample_vndf(n, wo, alpha, r3[..., 0:2])
-    spec_dir = m.normalize(2.0 * m.vdot(h, wo) * h - wo)
-    use_diffuse = r3[..., 2] > (1.0 / (2.0 - mat.metallic))
-    met_dir = jnp.where(use_diffuse[..., None], lam_dir, spec_dir)
-    met_bad = m.dot(n, met_dir) < 0.0
-    met = BSDFSample(
-        dir=met_dir,
-        bsdf=_metallic_eval(mat, n, wo, met_dir),
-        pdf=_metallic_pdf(mat, n, wo, met_dir),
-        type=jnp.where(met_bad, INVALID, GLOSSY | REFLECTION).astype(jnp.int32),
-    )
-
-    # --- Dielectric ---
-    cos_wo = m.dot(n, wo)
-    pdf_refl = m.fresnel(cos_wo, mat.ior)
-    refl_dir = m.normalize(2.0 * cos_wo[..., None] * n - wo)
-    refr_dir, refr_ok = m.refract(n, wo, mat.ior)
-    choose_refl = r3[..., 2] < pdf_refl
-    eta = jnp.where(cos_wo < 0.0, 1.0 / mat.ior, mat.ior)
-    die_dir = jnp.where(choose_refl[..., None], refl_dir, refr_dir)
-    die_bsdf = jnp.where(
-        choose_refl[..., None],
-        mat.base_color,
-        mat.base_color / (eta * eta)[..., None],
-    )
-    die_invalid = (~choose_refl) & (~refr_ok)
-    die_type = jnp.where(
-        die_invalid,
-        INVALID,
-        jnp.where(choose_refl, SPECULAR | REFLECTION, SPECULAR | TRANSMISSION),
-    ).astype(jnp.int32)
-    die = BSDFSample(
-        dir=die_dir,
-        bsdf=die_bsdf,
-        pdf=jnp.ones_like(pdf_refl),
-        type=die_type,
-    )
-
+    (material.h:260-275).  r3: [N, 3] uniforms.  ``types``: static tuple of
+    material types present (lobes of absent types are not computed)."""
     t = mat.mtype
+    has = lambda ty: types is None or ty in types  # noqa: E731
 
-    def sel(field_lam, field_met, field_die, invalid_val):
-        out = jnp.where(
-            (t == MAT_LAMBERTIAN)[..., None] if field_lam.ndim > t.ndim else (t == MAT_LAMBERTIAN),
-            field_lam,
-            jnp.where(
-                (t == MAT_METALLIC_WORKFLOW)[..., None] if field_lam.ndim > t.ndim else (t == MAT_METALLIC_WORKFLOW),
-                field_met,
-                jnp.where(
-                    (t == MAT_DIELECTRIC)[..., None] if field_lam.ndim > t.ndim else (t == MAT_DIELECTRIC),
-                    field_die,
-                    invalid_val,
-                ),
+    out = BSDFSample(
+        dir=jnp.zeros_like(n),
+        bsdf=jnp.zeros_like(n),
+        pdf=jnp.zeros(n.shape[:-1], n.dtype),
+        type=jnp.full(n.shape[:-1], INVALID, jnp.int32),
+    )
+
+    def overlay(out, cond, s):
+        c3 = cond[..., None]
+        return BSDFSample(
+            dir=jnp.where(c3, s.dir, out.dir),
+            bsdf=jnp.where(c3, s.bsdf, out.bsdf),
+            pdf=jnp.where(cond, s.pdf, out.pdf),
+            type=jnp.where(cond, s.type, out.type),
+        )
+
+    if has(MAT_LAMBERTIAN) or has(MAT_METALLIC_WORKFLOW):
+        # the metallic diffuse lobe reuses the cosine-sampled direction
+        lam_dir = m.cosine_sample_hemisphere(n, r3[..., 0], r3[..., 1])
+
+    if has(MAT_LAMBERTIAN):
+        lam = BSDFSample(
+            dir=lam_dir,
+            bsdf=mat.base_color * m.INV_PI,
+            pdf=m.sat_dot(n, lam_dir) * m.INV_PI,
+            type=jnp.full(n.shape[:-1], DIFFUSE | REFLECTION, jnp.int32),
+        )
+        out = overlay(out, t == MAT_LAMBERTIAN, lam)
+
+    if has(MAT_METALLIC_WORKFLOW):
+        alpha = mat.roughness * mat.roughness
+        h = ggx_sample_vndf(n, wo, alpha, r3[..., 0:2])
+        spec_dir = m.normalize(2.0 * m.vdot(h, wo) * h - wo)
+        use_diffuse = r3[..., 2] > (1.0 / (2.0 - mat.metallic))
+        met_dir = jnp.where(use_diffuse[..., None], lam_dir, spec_dir)
+        met_bad = m.dot(n, met_dir) < 0.0
+        met = BSDFSample(
+            dir=met_dir,
+            bsdf=_metallic_eval(mat, n, wo, met_dir),
+            pdf=_metallic_pdf(mat, n, wo, met_dir),
+            type=jnp.where(met_bad, INVALID, GLOSSY | REFLECTION).astype(
+                jnp.int32
             ),
         )
-        return out
+        out = overlay(out, t == MAT_METALLIC_WORKFLOW, met)
 
-    out_dir = sel(lam.dir, met.dir, die.dir, jnp.zeros_like(lam.dir))
-    out_bsdf = sel(lam.bsdf, met.bsdf, die.bsdf, jnp.zeros_like(lam.bsdf))
-    out_pdf = sel(lam.pdf, met.pdf, die.pdf, jnp.zeros_like(lam.pdf))
-    out_type = sel(
-        lam.type, met.type, die.type, jnp.full_like(lam.type, INVALID)
-    )
-    return BSDFSample(dir=out_dir, bsdf=out_bsdf, pdf=out_pdf, type=out_type)
+    if has(MAT_DIELECTRIC):
+        cos_wo = m.dot(n, wo)
+        pdf_refl = m.fresnel(cos_wo, mat.ior)
+        refl_dir = m.normalize(2.0 * cos_wo[..., None] * n - wo)
+        refr_dir, refr_ok = m.refract(n, wo, mat.ior)
+        choose_refl = r3[..., 2] < pdf_refl
+        eta = jnp.where(cos_wo < 0.0, 1.0 / mat.ior, mat.ior)
+        die_dir = jnp.where(choose_refl[..., None], refl_dir, refr_dir)
+        die_bsdf = jnp.where(
+            choose_refl[..., None],
+            mat.base_color,
+            mat.base_color / (eta * eta)[..., None],
+        )
+        die_invalid = (~choose_refl) & (~refr_ok)
+        die_type = jnp.where(
+            die_invalid,
+            INVALID,
+            jnp.where(
+                choose_refl, SPECULAR | REFLECTION, SPECULAR | TRANSMISSION
+            ),
+        ).astype(jnp.int32)
+        die = BSDFSample(
+            dir=die_dir,
+            bsdf=die_bsdf,
+            pdf=jnp.ones_like(pdf_refl),
+            type=die_type,
+        )
+        out = overlay(out, t == MAT_DIELECTRIC, die)
+
+    return out

@@ -197,8 +197,8 @@ def path_trace(
             ds, pos, r4, mask=active & ~is_delta_bsdf
         )
         nee_ok = active & (~is_delta_bsdf) & (light_pdf > 0.0)
-        f = bsdf.bsdf_eval(mat, norm, wo, wi)
-        b_pdf = bsdf.bsdf_pdf(mat, norm, wo, wi)
+        f = bsdf.bsdf_eval(mat, norm, wo, wi, types=ds.mat_types)
+        b_pdf = bsdf.bsdf_pdf(mat, norm, wo, wi, types=ds.mat_types)
         mis_w = m.power_heuristic(light_pdf, b_pdf)
         contrib = (
             throughput
@@ -214,7 +214,7 @@ def path_trace(
 
         # ---- BSDF sample (pathtrace.cu:210-223) ----
         r3, sampler = rng.sample_3d(ds.sobol, sampler)
-        samp = bsdf.bsdf_sample(mat, norm, wo, r3)
+        samp = bsdf.bsdf_sample(mat, norm, wo, r3, types=ds.mat_types)
         bad = bsdf.is_invalid(samp.type) | (samp.pdf < 1e-8)
         active = active & ~bad
         delta_sample = bsdf.is_delta(samp.type)
@@ -303,7 +303,7 @@ def path_trace_direct(
     r4, sampler = rng.sample_4d(ds.sobol, sampler)
     li, wi, light_pdf = dsc.sample_direct_light(ds, it.pos, r4, mask=shade)
     ok = shade & (light_pdf > 0.0)
-    f = bsdf.bsdf_eval(mat, norm, wo, wi)
+    f = bsdf.bsdf_eval(mat, norm, wo, wi, types=ds.mat_types)
     contrib = f * li * (m.sat_dot(norm, wi) / jnp.maximum(light_pdf, 1e-12))[..., None]
     direct += jnp.where(ok[..., None], contrib, 0.0)
     if untile is not None:

@@ -101,9 +101,9 @@ def _check_validity(res: DirectReservoir) -> DirectReservoir:
     )
 
 
-def _p_hat(res: DirectReservoir, mat, norm, wo):
+def _p_hat(res: DirectReservoir, mat, norm, wo, types=None):
     """Target function p^ = Li * f * cos (restir.h:31-35)."""
-    f = bsdf.bsdf_eval(mat, norm, wo, res.wi)
+    f = bsdf.bsdf_eval(mat, norm, wo, res.wi, types=types)
     return res.li * f * m.sat_dot(norm, res.wi)[..., None]
 
 
@@ -351,7 +351,7 @@ def restir_direct(
         sampler, res = carry
         r4, sampler = rng.sample_4d(table, sampler)
         li, wi, dist, pdf = dsc.sample_direct_light_no_vis(ds, it.pos, r4)
-        f = bsdf.bsdf_eval(mat, norm, wo, wi)
+        f = bsdf.bsdf_eval(mat, norm, wo, wi, types=ds.mat_types)
         p_hat = li * f * m.sat_dot(norm, wi)[..., None]
         w = m.length(p_hat) / jnp.maximum(pdf, 1e-12)
         w = jnp.where(jnp.isfinite(w) & (pdf > 0.0), w, 0.0)
@@ -407,7 +407,7 @@ def restir_direct(
         res = _merge(res, spatial, r1, ok)
 
     # ---- shade (restir.cu:189-194) ----
-    p_hat = _p_hat(res, mat, norm, wo)
+    p_hat = _p_hat(res, mat, norm, wo, types=ds.mat_types)
     w_big = _big_w(res, p_hat)
     contrib = p_hat * w_big[..., None]
     ok = shade & ~_invalid(res) & (res.num > 0)

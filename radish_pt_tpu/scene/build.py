@@ -221,6 +221,7 @@ def build_device_scene(
         leaf_tris=jnp.asarray(bvh.leaf_tris),
         leaf_map=jnp.asarray(leaf_map),
         mat_type=jnp.asarray([m.mtype for m in mats], jnp.int32),
+        mat_types=tuple(sorted({m.mtype for m in mats})),
         mat_base_color=jnp.asarray([m.base_color for m in mats], jnp.float32),
         mat_metallic=jnp.asarray([m.metallic for m in mats], jnp.float32),
         mat_roughness=jnp.asarray([m.roughness for m in mats], jnp.float32),

@@ -65,6 +65,9 @@ class DeviceScene:
     has_env: bool = struct.field(pytree_node=False, default=False)
     has_aperture: bool = struct.field(pytree_node=False, default=False)
     single_sided: bool = struct.field(pytree_node=False, default=True)
+    # static tuple of MAT_* types present: BSDF dispatch skips absent lobes
+    # (None = unknown, evaluate everything)
+    mat_types: tuple = struct.field(pytree_node=False, default=None)
 
     # --- geometry soup (DevScene::vertices/normals/texcoords, scene.h:494-496) ---
     tri_v: jnp.ndarray = None  # f32 [T, 3, 3] (light sampling / host use)
