@@ -314,15 +314,20 @@ def _plucker_kernel(
     # pre-permuted in BVH leaf order (scene/build.py), so no id matmul —
     # and the four decision planes ride ONE stacked [4*sub, 10] @ [10, 128]
     # MXU op per sweep (four separate [sub, 10] dots are latency-bound).
-    iota = jax.lax.broadcasted_iota(jnp.int32, (sub, 128), 0).astype(jnp.float32)
+    # Winner selection packs the sublane index into the low 6 mantissa
+    # bits of t (positive f32 order == int32 order): ONE integer
+    # min-reduce replaces the (tmin, eq-select, idmin) pair; t is
+    # quantized by <= 64 ulp (~2^-17 relative), far inside the f32 noise
+    # of the intersection itself (same scheme as the quad kernel below).
+    iota6 = jax.lax.broadcasted_iota(jnp.int32, (sub, 128), 0)
 
     def _step_body():
         for s in range(tri_chunk // sub):
             cst = c_ref[s]  # [4*sub, 10] stacked planes
-            ids = c * tri_chunk + s * sub + iota
+            id_base = c * tri_chunk + s * sub
 
             for r in range(RAY_BLOCK // 128):
-                def _sweep(cst=cst, ids=ids, r=r):
+                def _sweep(cst=cst, id_base=id_base, r=r):
                     f = f_ref[:, r * 128:(r + 1) * 128]  # [30, 128] bf16
                     q = dot(cst, f)  # ONE bf16 [4*sub, 30] @ [30, 128] MXU op
                     det = q[0 * sub:1 * sub, :]
@@ -342,17 +347,18 @@ def _plucker_kernel(
                     # expensive epilogue op); sd=0 lanes are invalid-masked
                     rs = jax.lax.rsqrt(sd)
                     tval = jnp.where(valid, tdd * rs * rs, FLT_MAX)
-
-                    tmin = jnp.min(tval, axis=0, keepdims=True)  # [1, 128]
-                    idmin = jnp.min(
-                        jnp.where(tval == tmin, ids, FLT_MAX),
-                        axis=0, keepdims=True,
+                    key = (
+                        jax.lax.bitcast_convert_type(tval, jnp.int32) & ~63
+                    ) | iota6
+                    kmin = jnp.min(key, axis=0, keepdims=True)  # [1, 128]
+                    tmin = jax.lax.bitcast_convert_type(
+                        kmin & ~63, jnp.float32
                     )
                     row = pl.ds(base + r, 1)
-                    upd = (tmin < dist_s[row, :]) & (tmin < FLT_MAX)
+                    upd = (kmin < _KEY_MISS) & (tmin < dist_s[row, :])
                     dist_s[row, :] = jnp.where(upd, tmin, dist_s[row, :])
                     prim_s[row, :] = jnp.where(
-                        upd, idmin.astype(jnp.int32), prim_s[row, :]
+                        upd, (kmin & 63) + id_base, prim_s[row, :]
                     )
 
                 if use_mask:
@@ -1073,9 +1079,7 @@ def _plucker_compact_kernel(
         preferred_element_type=jnp.float32,
     )
 
-    iota = jax.lax.broadcasted_iota(
-        jnp.int32, (F, group * 128), 0
-    ).astype(jnp.float32)
+    iota6 = jax.lax.broadcasted_iota(jnp.int32, (F, group * 128), 0)
 
     for k in range(fan):
         item = w * fan + k
@@ -1103,24 +1107,28 @@ def _plucker_compact_kernel(
                     rs = jax.lax.rsqrt(sd)  # t = tdd/sd without the divide
                     tval = jnp.where(valid, tdd * rs * rs, FLT_MAX)
 
-                    ids = (((p & umask) * g + s) * F + iota)
-                    tmin = jnp.min(tval, axis=0, keepdims=True)
-                    idmin = jnp.min(
-                        jnp.where(tval == tmin, ids, FLT_MAX),
-                        axis=0, keepdims=True,
+                    # packed-key argmin: sublane id in the low 6 mantissa
+                    # bits, one integer min-reduce (see the scan kernel)
+                    key = (
+                        jax.lax.bitcast_convert_type(tval, jnp.int32) & ~63
+                    ) | iota6
+                    kmin = jnp.min(key, axis=0, keepdims=True)
+                    tmin = jax.lax.bitcast_convert_type(
+                        kmin & ~63, jnp.float32
                     )
+                    id_base = ((p & umask) * g + s) * F
                     # fold each 128-lane column slice into its output row
                     # (static unroll; a (1, group*128) -> (group, 128)
                     # reshape would be a lane relayout, slices are free)
                     for j in range(group):
                         col = slice(j * 128, (j + 1) * 128)
                         row = pl.ds((p >> unit_bits) * group + j, 1)
+                        kj = kmin[:, col]
                         tj = tmin[:, col]
-                        upd = (tj < dist_ref[row, :]) & (tj < FLT_MAX)
+                        upd = (kj < _KEY_MISS) & (tj < dist_ref[row, :])
                         dist_ref[row, :] = jnp.where(upd, tj, dist_ref[row, :])
                         prim_ref[row, :] = jnp.where(
-                            upd, idmin[:, col].astype(jnp.int32),
-                            prim_ref[row, :],
+                            upd, (kj & 63) + id_base, prim_ref[row, :]
                         )
 
                 _fine()
