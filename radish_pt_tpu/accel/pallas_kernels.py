@@ -29,6 +29,7 @@ FLT_MAX = 3.402823466e38
 
 RAY_BLOCK = 1024  # rays per grid step: an (8, 128) block, row = 128 rays
 TRI_CHUNK = 512  # triangles per grid step ([512, 9] VMEM block)
+BIG_SCENE_TRIS = 16384  # above this, the scan grid doubles its chunk
 TRI_SUB = 8  # triangles per (8, 128) op (sublane axis)
 
 
@@ -523,6 +524,7 @@ def _cluster_mask_bits(cluster_bounds, ray_o, ray_d, tmax, n_blocks, n_chunks,
 def intersect_plucker_pallas(
     tri_packed, ray_o, ray_d,
     tri_order=None, cluster_bounds=None, tmax=None,
+    coeffs_pre=None, center_pre=None,
     interpret: bool = False, bf16x3: bool | None = None,
 ):
     """Closest hit over all triangles via the MXU Plücker formulation.
@@ -549,6 +551,7 @@ def intersect_plucker_pallas(
                 tri_packed, ray_o[lo:hi], ray_d[lo:hi],
                 tri_order=tri_order, cluster_bounds=cluster_bounds,
                 tmax=None if tmax is None else tmax[lo:hi],
+                coeffs_pre=coeffs_pre, center_pre=center_pre,
                 interpret=interpret, bf16x3=bf16x3,
             )
             prims.append(p)
@@ -558,30 +561,32 @@ def intersect_plucker_pallas(
     if bf16x3 is None:
         bf16x3 = num_tris <= PLUCKER_BF16X3_MAX_TRIS
     n_pad = -(-n // RAY_BLOCK) * RAY_BLOCK
-    if num_tris > CLUSTER_SUB:
-        sub = CLUSTER_SUB
-        tri_chunk = min(TRI_CHUNK, -(-num_tris // sub) * sub)
-    else:
-        tri_chunk = -(-num_tris // TRI_SUB) * TRI_SUB
-        sub = tri_chunk
-    t_pad = -(-num_tris // tri_chunk) * tri_chunk
+    sub, tri_chunk, t_pad = _chunking(num_tris)
     n_blocks = n_pad // RAY_BLOCK
     n_chunks = t_pad // tri_chunk
     subs_per_chunk = tri_chunk // sub
 
-    if tri_order is not None:
-        tri_packed = tri_packed[tri_order]
+    pre = _take_pre_coeffs(coeffs_pre, center_pre, sub, t_pad,
+                           30 if bf16x3 else 10, tri_order=tri_order)
+    if pre is not None:
+        coeffs, center = pre
+    else:
+        if tri_order is not None:
+            tri_packed = tri_packed[tri_order]
 
-    v0 = tri_packed[:, 0:3]
-    center = jax.lax.stop_gradient(0.5 * (v0.min(axis=0) + v0.max(axis=0)))
-    # kernel ids are positional (chunk base + sublane) — the id coefficient
-    # row is not needed; tri_order (if any) is remapped after the kernel
-    coeffs = _plucker_coeffs(
-        tri_packed, center, jnp.arange(num_tris, dtype=jnp.int32)
-    )[0:4]
-    # padding rows are all-zero -> det==0 -> never valid
-    coeffs = jnp.pad(coeffs, ((0, 0), (0, t_pad - num_tris), (0, 0)))
-    coeffs = _stack4(coeffs, sub, bf16x3)  # [t_pad//sub, 4*sub, 10|30]
+        v0 = tri_packed[:, 0:3]
+        center = jax.lax.stop_gradient(
+            0.5 * (v0.min(axis=0) + v0.max(axis=0))
+        )
+        # kernel ids are positional (chunk base + sublane) — the id
+        # coefficient row is not needed; tri_order (if any) is remapped
+        # after the kernel
+        coeffs = _plucker_coeffs(
+            tri_packed, center, jnp.arange(num_tris, dtype=jnp.int32)
+        )[0:4]
+        # padding rows are all-zero -> det==0 -> never valid
+        coeffs = jnp.pad(coeffs, ((0, 0), (0, t_pad - num_tris), (0, 0)))
+        coeffs = _stack4(coeffs, sub, bf16x3)  # [t_pad//sub, 4*sub, 10|30]
 
     use_mask = cluster_bounds is not None
     if use_mask:
@@ -650,6 +655,7 @@ def intersect_plucker_pallas(
 @functools.partial(jax.jit, static_argnames=("interpret", "bf16x3"))
 def occlusion_plucker_pallas(tri_packed, x, y,
                              tri_order=None, cluster_bounds=None,
+                             coeffs_pre=None, center_pre=None,
                              interpret: bool = False,
                              bf16x3: bool | None = None):
     """Shadow query via the dedicated ANY-HIT MXU kernel (no id matmul,
@@ -662,6 +668,7 @@ def occlusion_plucker_pallas(tri_packed, x, y,
                 tri_packed, x[lo:lo + MAX_LANES_PER_LAUNCH],
                 y[lo:lo + MAX_LANES_PER_LAUNCH],
                 tri_order=tri_order, cluster_bounds=cluster_bounds,
+                coeffs_pre=coeffs_pre, center_pre=center_pre,
                 interpret=interpret, bf16x3=bf16x3,
             )
             for lo in range(0, x.shape[0], MAX_LANES_PER_LAUNCH)
@@ -679,28 +686,28 @@ def occlusion_plucker_pallas(tri_packed, x, y,
     if bf16x3 is None:
         bf16x3 = num_tris <= PLUCKER_BF16X3_MAX_TRIS
     n_pad = -(-n // RAY_BLOCK) * RAY_BLOCK
-    if num_tris > CLUSTER_SUB:
-        sub = CLUSTER_SUB
-        tri_chunk = min(TRI_CHUNK, -(-num_tris // sub) * sub)
-    else:
-        tri_chunk = -(-num_tris // TRI_SUB) * TRI_SUB
-        sub = tri_chunk
-    t_pad = -(-num_tris // tri_chunk) * tri_chunk
+    sub, tri_chunk, t_pad = _chunking(num_tris)
     n_blocks = n_pad // RAY_BLOCK
     n_chunks = t_pad // tri_chunk
     subs_per_chunk = tri_chunk // sub
 
-    if tri_order is not None:
-        tri_packed = tri_packed[tri_order]
-        prim_ids = tri_order
+    pre = _take_pre_coeffs(coeffs_pre, center_pre, sub, t_pad,
+                           30 if bf16x3 else 10, tri_order=tri_order)
+    if pre is not None:
+        coeffs, center = pre
     else:
-        prim_ids = jnp.arange(num_tris, dtype=jnp.int32)
+        if tri_order is not None:
+            tri_packed = tri_packed[tri_order]
 
-    v0 = tri_packed[:, 0:3]
-    center = jax.lax.stop_gradient(0.5 * (v0.min(axis=0) + v0.max(axis=0)))
-    coeffs = _plucker_coeffs(tri_packed, center, prim_ids)[0:4]
-    coeffs = jnp.pad(coeffs, ((0, 0), (0, t_pad - num_tris), (0, 0)))
-    coeffs = _stack4(coeffs, sub, bf16x3)  # [t_pad//sub, 4*sub, 10|30]
+        v0 = tri_packed[:, 0:3]
+        center = jax.lax.stop_gradient(
+            0.5 * (v0.min(axis=0) + v0.max(axis=0))
+        )
+        coeffs = _plucker_coeffs(
+            tri_packed, center, jnp.arange(num_tris, dtype=jnp.int32)
+        )[0:4]
+        coeffs = jnp.pad(coeffs, ((0, 0), (0, t_pad - num_tris), (0, 0)))
+        coeffs = _stack4(coeffs, sub, bf16x3)  # [t_pad//sub, 4*sub, 10|30]
 
     use_mask = cluster_bounds is not None
     if use_mask:
@@ -1261,6 +1268,7 @@ def _compact_pallas_call(kernel, w_max, g, kdim, rows, out_shapes,
 def _compact_prepass(
     tri_packed, ray_o, ray_d, tri_order, cluster_bounds, tmax,
     bf16x3, work_per_row, group, feat_pad_value, interpret=False,
+    coeffs_pre=None, center_pre=None,
 ):
     """Shared setup for both compact entry points: coefficient stacking,
     per-ray exact visit flags (slab test for small scenes, MXU sphere test
@@ -1293,18 +1301,26 @@ def _compact_prepass(
     n_pad = -(-n // RAY_BLOCK) * RAY_BLOCK
     rows = n_pad // 128
 
-    if tri_order is not None:
-        tri_packed = tri_packed[tri_order]
+    pre = _take_pre_coeffs(coeffs_pre, center_pre, CLUSTER_SUB, t_pad,
+                           30 if bf16x3 else 10, tri_order=tri_order)
+    if pre is not None:
+        coeffs, center = pre
+    else:
+        if tri_order is not None:
+            tri_packed = tri_packed[tri_order]
 
-    v0 = tri_packed[:, 0:3]
-    center = jax.lax.stop_gradient(0.5 * (v0.min(axis=0) + v0.max(axis=0)))
-    coeffs = _plucker_coeffs(
-        tri_packed, center, jnp.arange(num_tris, dtype=jnp.int32)
-    )[0:4]
-    coeffs = jnp.pad(coeffs, ((0, 0), (0, t_pad - num_tris), (0, 0)))
-    # stack planes per FINE cluster, then group g fine blocks per unit so
-    # the kernel can matmul each fine cluster separately: [units, g, 4*F, K]
-    coeffs = _stack4(coeffs, CLUSTER_SUB, bf16x3)
+        v0 = tri_packed[:, 0:3]
+        center = jax.lax.stop_gradient(
+            0.5 * (v0.min(axis=0) + v0.max(axis=0))
+        )
+        coeffs = _plucker_coeffs(
+            tri_packed, center, jnp.arange(num_tris, dtype=jnp.int32)
+        )[0:4]
+        coeffs = jnp.pad(coeffs, ((0, 0), (0, t_pad - num_tris), (0, 0)))
+        # stack planes per FINE cluster: [t_pad//F, 4*F, K]
+        coeffs = _stack4(coeffs, CLUSTER_SUB, bf16x3)
+    # group g fine blocks per cull unit so the kernel can matmul each fine
+    # cluster separately: [units, g, 4*F, K]
     coeffs = coeffs.reshape(t_pad // sub, g, *coeffs.shape[1:])
 
     assert rows % group == 0  # RAY_BLOCK = 8 rows; group in {1, 2, 4, 8}
@@ -1346,6 +1362,7 @@ def _compact_prepass(
 def intersect_plucker_compact(
     tri_packed, ray_o, ray_d,
     tri_order=None, cluster_bounds=None, tmax=None,
+    coeffs_pre=None, center_pre=None,
     interpret: bool = False, bf16x3: bool | None = None,
     work_per_row: int = 24, group: int = 2, fan: int = 1,
 ):
@@ -1372,6 +1389,7 @@ def intersect_plucker_compact(
                 tri_packed, ray_o[lo:hi], ray_d[lo:hi],
                 tri_order=tri_order, cluster_bounds=cluster_bounds,
                 tmax=None if tmax is None else tmax[lo:hi],
+                coeffs_pre=coeffs_pre, center_pre=center_pre,
                 interpret=interpret, bf16x3=bf16x3,
                 work_per_row=work_per_row, group=group, fan=fan,
             )
@@ -1382,7 +1400,7 @@ def intersect_plucker_compact(
     pp = _compact_prepass(
         tri_packed, ray_o, ray_d, tri_order, cluster_bounds, tmax,
         bf16x3, work_per_row, group, feat_pad_value=1.0,
-        interpret=interpret,
+        interpret=interpret, coeffs_pre=coeffs_pre, center_pre=center_pre,
     )
     tri_packed = pp["tri_packed"]
     bf16x3 = pp["bf16x3"]
@@ -1416,6 +1434,8 @@ def intersect_plucker_compact(
         p, t = intersect_plucker_pallas(
             tri_packed, ray_o, ray_d,
             tri_order=None, cluster_bounds=cluster_bounds, tmax=tmax,
+            coeffs_pre=coeffs_pre if tri_order is None else None,
+            center_pre=center_pre,
             interpret=interpret, bf16x3=bf16x3,
         )
         return (
@@ -1444,6 +1464,7 @@ def intersect_plucker_compact(
 def occlusion_plucker_compact(
     tri_packed, x, y,
     tri_order=None, cluster_bounds=None,
+    coeffs_pre=None, center_pre=None,
     interpret: bool = False, bf16x3: bool | None = None,
     work_per_row: int = 24, group: int = 2, fan: int = 1,
 ):
@@ -1457,6 +1478,7 @@ def occlusion_plucker_compact(
                 tri_packed, x[lo:lo + COMPACT_MAX_LANES],
                 y[lo:lo + COMPACT_MAX_LANES],
                 tri_order=tri_order, cluster_bounds=cluster_bounds,
+                coeffs_pre=coeffs_pre, center_pre=center_pre,
                 interpret=interpret, bf16x3=bf16x3,
                 work_per_row=work_per_row, group=group, fan=fan,
             )
@@ -1474,7 +1496,7 @@ def occlusion_plucker_compact(
     pp = _compact_prepass(
         tri_packed, ray_o, ray_d, tri_order, cluster_bounds, max_dist,
         bf16x3, work_per_row, group, feat_pad_value=0.0,
-        interpret=interpret,
+        interpret=interpret, coeffs_pre=coeffs_pre, center_pre=center_pre,
     )
     tri_packed = pp["tri_packed"]
     bf16x3 = pp["bf16x3"]
@@ -1509,6 +1531,8 @@ def occlusion_plucker_compact(
         occ = occlusion_plucker_pallas(
             tri_packed, x, y,
             tri_order=None, cluster_bounds=cluster_bounds,
+            coeffs_pre=coeffs_pre if tri_order is None else None,
+            center_pre=center_pre,
             interpret=interpret, bf16x3=bf16x3,
         )
         return jnp.pad(occ.astype(jnp.int32), (0, n_pad - n)).reshape(
@@ -1813,14 +1837,71 @@ MAX_LANES_PER_LAUNCH = 1 << 20
 
 
 def _chunking(num_tris: int):
+    """(sub, tri_chunk, t_pad) for the scan kernels' (chunk, block) grid.
+
+    Big scenes double the chunk: the grid-step pipeline cost (~0.26 us) at
+    111k tris is 218 x 625 = 136k steps — TRI_CHUNK=1024 measured 28%/10%
+    faster primary/bounce sweeps at teapot_hires with exact winner parity,
+    while 2048 (a 128-wide pl.when nest per step) collapsed 3-4x (icache)
+    and mid scenes are insensitive (±3%; tools/ab_chunk.py)."""
     if num_tris > CLUSTER_SUB:
         sub = CLUSTER_SUB
-        tri_chunk = min(TRI_CHUNK, -(-num_tris // sub) * sub)
+        chunk = TRI_CHUNK * 2 if num_tris > BIG_SCENE_TRIS else TRI_CHUNK
+        tri_chunk = min(chunk, -(-num_tris // sub) * sub)
     else:
         tri_chunk = -(-num_tris // TRI_SUB) * TRI_SUB
         sub = tri_chunk
     t_pad = -(-num_tris // tri_chunk) * tri_chunk
     return sub, tri_chunk, t_pad
+
+
+def precompute_sweep_coeffs(tri_packed, tri_order=None):
+    """Build-time stacked Plücker decision planes + scene center.
+
+    The coefficient prep (permute + 4 plane rows + pad + M-stack) costs
+    ~5.5 ms per sweep at 111k tris — and a depth-5 frame runs it inside the
+    bounce ``fori_loop`` ~11 times (XLA does not hoist loop-invariant code
+    out of ``while``), wasting ~60 ms/frame.  Computing it ONCE at scene
+    build and passing the arrays into the kernels removes that entirely.
+
+    Returns (coeffs [t_pad//sub, 4*sub, 10|30], center f32[3]) in the exact
+    layout :func:`intersect_plucker_pallas` / the occlusion twin expect for
+    the build-time TRI_CHUNK; the kernels validate the shape and fall back
+    to inline prep if a tool has since retuned the chunking.
+    """
+    num_tris = tri_packed.shape[0]
+    if tri_order is not None:
+        tri_packed = tri_packed[tri_order]
+    bf16x3 = num_tris <= PLUCKER_BF16X3_MAX_TRIS
+    sub, _, t_pad = _chunking(num_tris)
+    v0 = tri_packed[:, 0:3]
+    center = jax.lax.stop_gradient(0.5 * (v0.min(axis=0) + v0.max(axis=0)))
+    coeffs = _plucker_coeffs(
+        tri_packed, center, jnp.arange(num_tris, dtype=jnp.int32)
+    )[0:4]
+    coeffs = jnp.pad(coeffs, ((0, 0), (0, t_pad - num_tris), (0, 0)))
+    return _stack4(coeffs, sub, bf16x3), center
+
+
+def _take_pre_coeffs(coeffs_pre, center_pre, sub, t_pad, kdim,
+                     tri_order=None):
+    """Validate/slice precomputed sweep coefficients for this launch's
+    chunking; None when unusable (caller falls back to inline prep).
+    A larger stored t_pad is fine — trailing rows are all-zero padding.
+    Precomputed coeffs are assumed to already include any spatial permute,
+    so an explicit ``tri_order`` disables them (the caller would permute
+    differently)."""
+    if coeffs_pre is None or center_pre is None or tri_order is not None:
+        return None
+    rows = t_pad // sub
+    if (
+        coeffs_pre.ndim != 3
+        or coeffs_pre.shape[0] < rows
+        or coeffs_pre.shape[1] != 4 * sub
+        or coeffs_pre.shape[2] != kdim
+    ):
+        return None
+    return coeffs_pre[:rows], center_pre
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

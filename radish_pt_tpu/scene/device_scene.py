@@ -87,6 +87,12 @@ class DeviceScene:
     # MXU intersector's per-ray-block culling (None to disable)
     tri_order: jnp.ndarray = None  # i32 [T]
     cluster_bounds: jnp.ndarray = None  # f32 [C, 6] (min.xyz, max.xyz)
+    # build-time stacked Plücker decision planes + scene center for the MXU
+    # engines (accel.pallas_kernels.precompute_sweep_coeffs): computing them
+    # per sweep inside the bounce fori_loop costs ~5.5 ms/sweep at 111k tris
+    # (XLA does not hoist loop-invariant code out of while loops)
+    sweep_coeffs: jnp.ndarray = None  # f32|bf16 [t_pad//sub, 4*sub, 10|30]
+    sweep_center: jnp.ndarray = None  # f32 [3]
     leaf_tris: jnp.ndarray = None  # f32 [R, L*9] padded leaf-major tris
     leaf_map: jnp.ndarray = None  # i32 [R*L] leaf slot -> prim id
 
@@ -274,12 +280,17 @@ def _mxu_engines(ds: DeviceScene):
         intersect_quad_pallas, occlusion_plucker_compact,
         occlusion_plucker_pallas, occlusion_quad_pallas)
 
+    pre = {}
+    if ds.sweep_coeffs is not None:
+        # build-time stacked decision planes (skip per-sweep coeff prep)
+        pre = dict(coeffs_pre=ds.sweep_coeffs, center_pre=ds.sweep_center)
     if ds.intersector == "pallas_compact":
         return (intersect_plucker_compact, occlusion_plucker_compact,
-                dict(COMPACT_TUNING))
+                dict(COMPACT_TUNING) | pre)
     if ds.intersector == "pallas_quad":
+        # the quad engine keeps inline coeff prep (different plane layout)
         return intersect_quad_pallas, occlusion_quad_pallas, {}
-    return intersect_plucker_pallas, occlusion_plucker_pallas, {}
+    return intersect_plucker_pallas, occlusion_plucker_pallas, pre
 
 
 def intersect(ds: DeviceScene, ray_o, ray_d, active=None) -> Interaction:

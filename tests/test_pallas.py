@@ -535,3 +535,55 @@ def test_mxu_engine_dispatch():
     assert isect is pk.intersect_plucker_compact
     assert occl is pk.occlusion_plucker_compact
     assert tuning == pk.COMPACT_TUNING and tuning is not pk.COMPACT_TUNING
+
+
+def test_precomputed_coeffs_parity(scene_rays):
+    """Build-time hoisted decision planes give bitwise-identical results to
+    inline coefficient prep, for the scan, occlusion, and compact kernels."""
+    from radish_pt_tpu.accel.pallas_kernels import (
+        intersect_plucker_compact, occlusion_plucker_compact,
+        precompute_sweep_coeffs)
+
+    tri_packed, ray_o, ray_d = scene_rays
+    cb = _make_cluster_bounds(tri_packed)
+    co, ce = precompute_sweep_coeffs(tri_packed)
+
+    p0, d0 = intersect_plucker_pallas(
+        tri_packed, ray_o, ray_d, cluster_bounds=cb, interpret=True)
+    p1, d1 = intersect_plucker_pallas(
+        tri_packed, ray_o, ray_d, cluster_bounds=cb,
+        coeffs_pre=co, center_pre=ce, interpret=True)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p0))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d0))
+
+    y = ray_o + ray_d * 3.0
+    o0 = occlusion_plucker_pallas(
+        tri_packed, ray_o, y, cluster_bounds=cb, interpret=True)
+    o1 = occlusion_plucker_pallas(
+        tri_packed, ray_o, y, cluster_bounds=cb,
+        coeffs_pre=co, center_pre=ce, interpret=True)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o0))
+
+    p2, d2 = intersect_plucker_compact(
+        tri_packed, ray_o, ray_d, cluster_bounds=cb,
+        coeffs_pre=co, center_pre=ce, interpret=True)
+    np.testing.assert_array_equal(np.asarray(p2), np.asarray(p0))
+    o2 = occlusion_plucker_compact(
+        tri_packed, ray_o, y, cluster_bounds=cb,
+        coeffs_pre=co, center_pre=ce, interpret=True)
+    np.testing.assert_array_equal(np.asarray(o2), np.asarray(o0))
+
+
+def test_precomputed_coeffs_shape_fallback(scene_rays):
+    """Mismatched precomputed coeffs (stale chunk tuning) fall back to
+    inline prep instead of producing garbage."""
+    from radish_pt_tpu.accel.pallas_kernels import precompute_sweep_coeffs
+
+    tri_packed, ray_o, ray_d = scene_rays
+    co, ce = precompute_sweep_coeffs(tri_packed)
+    bad = co[:, : co.shape[1] // 2, :]  # wrong stacked-plane width
+    p0, d0 = intersect_plucker_pallas(tri_packed, ray_o, ray_d, interpret=True)
+    p1, d1 = intersect_plucker_pallas(
+        tri_packed, ray_o, ray_d, coeffs_pre=bad, center_pre=ce,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p0))
