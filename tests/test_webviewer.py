@@ -37,7 +37,9 @@ def test_stream_delivers_published_frame(server):
     img[:, :, 0] = 200
     jpeg = wv.encode_jpeg(img)
     shared.publish(jpeg, "{}")
-    resp = urllib.request.urlopen(f"{base}/stream", timeout=5)
+    # generous timeout: the 1-core CI host can stall the stream
+    # thread for seconds under concurrent compile load
+    resp = urllib.request.urlopen(f"{base}/stream", timeout=30)
     head = resp.read(len(jpeg) + 200)
     assert b"image/jpeg" in head
     assert jpeg[:16] in head  # the published frame's bytes stream out
