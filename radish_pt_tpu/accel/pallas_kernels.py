@@ -827,6 +827,9 @@ _PER_RAY_PREPASS_MAX = 256
 # fine clusters merge into one work unit (the sphere test and the sweep
 # both coarsen; exact fine gating above ~262k tris is a round-3 item).
 _SPHERE_UNIT_MAX = 4096
+# scalar-memory budget for the prefetched work list (v5e has ~1 MB SMEM;
+# leave headroom for the count word and compiler spill slots)
+_SMEM_WORK_BYTES = 800_000
 
 
 def _coarsen_bounds(cluster_bounds, g: int):
@@ -857,11 +860,19 @@ def _pad_rays(ray_o, ray_d, tmax, n_pad):
     return o, d, tm
 
 
-def _row_flags(cull_bounds, o, d, tm, rows, lanes: int = 128):
+def _row_flags(cull_bounds, o, d, tm, rows, lanes: int = 128,
+               with_tn: bool = False):
     """Per-(``lanes``-ray group, cull-unit) visit flags, bool [rows, C]:
     exact per-ray slab test OR-reduced over the group (the exact union).
     Rays are pre-padded (:func:`_pad_rays`) to rows*lanes.  Callers keep
-    C <= _PER_RAY_PREPASS_MAX via :func:`_coarsen_bounds`."""
+    C <= _PER_RAY_PREPASS_MAX via :func:`_coarsen_bounds`.
+
+    ``with_tn``: also return f32 [rows, C] conservative entry distances —
+    min over the group's FLAGGING lanes of max(slab entry, 0), FLT_MAX
+    where no lane flags.  Any true hit t inside the unit satisfies
+    t >= tn for every flagging lane, so tn lower-bounds the unit's
+    contribution to the whole row group (the near-to-far work-list order
+    and the in-kernel termination test both ride on this bound)."""
     n_pad = rows * lanes
     C = cull_bounds.shape[0]
     inv = 1.0 / jnp.where(jnp.abs(d) > 1e-12, d, 1e-12)
@@ -873,7 +884,12 @@ def _row_flags(cull_bounds, o, d, tm, rows, lanes: int = 128):
         tn = jnp.maximum(tn, jnp.minimum(a, b))
         tf = jnp.minimum(tf, jnp.maximum(a, b))
     hit = (tf >= jnp.maximum(tn, 0.0)) & (tn < tm[:, None])
-    return hit.reshape(rows, lanes, C).any(axis=1)
+    flags = hit.reshape(rows, lanes, C).any(axis=1)
+    if not with_tn:
+        return flags
+    tn_pos = jnp.where(hit, jnp.maximum(tn, 0.0), FLT_MAX)
+    tn_row = tn_pos.reshape(rows, lanes, C).min(axis=1)
+    return flags, tn_row
 
 
 # --- MXU sphere prepass -----------------------------------------------------
@@ -974,30 +990,46 @@ def _sphere_plane_coeffs(unit_bounds, center):
     return jnp.stack([a, c, e]).transpose(0, 2, 1)  # [3, 16, C]
 
 
-def _sphere_flag_kernel(f_ref, a_ref, c_ref, e_ref, out_ref, *, lanes):
+def _sphere_flag_kernel(f_ref, a_ref, c_ref, e_ref, rl2_ref, out_ref, tn_ref,
+                        *, lanes):
     """One (cluster tile, 8 row groups) step: 3 MXU ops + min + per-group
     any-reduce (8 row groups per step so the out block is (8, ctile)).
     Inputs are bf16x3-split (K = 48): single-pass bf16 matmuls with ~2^-17
-    relative error, covered by the coefficients' slack terms."""
+    relative error, covered by the coefficients' slack terms.
+
+    Second output: per-group conservative entry distance tn = min over
+    flagging lanes of max(t* - rl, 0).  The C plane value is t* + rl, so
+    t* - rl = cv - 2*rl (``rl2_ref`` carries 2*rl per unit); any true hit
+    in the unit has t >= t* - halfwidth >= t* - rl."""
     dot = lambda x, w: jax.lax.dot_general(  # noqa: E731
         x, w, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     f = f_ref[...]
-    v = jnp.minimum(dot(f, a_ref[...]), dot(f, c_ref[...]))
+    cv = dot(f, c_ref[...])
+    v = jnp.minimum(dot(f, a_ref[...]), cv)
     v = jnp.minimum(v, dot(f, e_ref[...]))
-    hit = (v >= 0.0).astype(jnp.int32)
+    flag = v >= 0.0
+    hit = flag.astype(jnp.int32)
+    tn = jnp.where(flag, jnp.maximum(cv - rl2_ref[...], 0.0), FLT_MAX)
     for j in range(8):
         out_ref[j:j + 1, :] = jnp.max(
             hit[j * lanes:(j + 1) * lanes], axis=0, keepdims=True
         )
+        tn_ref[j:j + 1, :] = jnp.min(
+            tn[j * lanes:(j + 1) * lanes], axis=0, keepdims=True
+        )
 
 
 def _sphere_flags(unit_bounds, center, o, d, tm, rowblks, lanes,
-                  interpret=False):
+                  interpret=False, with_tn: bool = False):
     """Exact per-ray sphere visit flags, bool [rowblks, C_pad]: the MXU
     prepass for big scenes.  Rays pre-padded to rowblks*lanes (dead/padding
-    lanes have tm = -inf, so plane E kills them)."""
+    lanes have tm = -inf, so plane E kills them).
+
+    ``with_tn``: also return f32 [rowblks, C] conservative entry distances
+    (min over flagging lanes of the sphere-window start; FLT_MAX where no
+    lane flags) — see :func:`_row_flags`."""
     C = unit_bounds.shape[0]
     # v intermediate is (8*lanes, ctile) f32: hold it at ~4 MB as the
     # group (lanes) grows
@@ -1006,6 +1038,9 @@ def _sphere_flags(unit_bounds, center, o, d, tm, rowblks, lanes,
     planes = _sphere_plane_coeffs(unit_bounds, center)
     planes = jnp.pad(planes, ((0, 0), (0, 0), (0, C_pad - C)),
                      constant_values=_SPHERE_NEG)  # padding units never flag
+    # 2*rl per unit for the tn epilogue (cv - 2*rl = t* - rl); the C plane's
+    # constant term IS rl for valid units (see _sphere_plane_coeffs)
+    rl2 = 2.0 * jnp.maximum(planes[1, 15:16, :], 0.0)  # [1, C_pad] f32
     p_hi = planes.astype(jnp.bfloat16)
     p_lo = (planes - p_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     planes = jnp.concatenate([p_hi, p_hi, p_lo], axis=1)  # [3, 48, C_pad]
@@ -1021,42 +1056,64 @@ def _sphere_flags(unit_bounds, center, o, d, tm, rowblks, lanes,
                           memory_space=pltpu.VMEM)
     p_spec = pl.BlockSpec((3 * _SPHERE_K, ctile), lambda ct, rb: (0, ct),
                           memory_space=pltpu.VMEM)
+    rl2_spec = pl.BlockSpec((1, ctile), lambda ct, rb: (0, ct),
+                            memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((8, ctile), lambda ct, rb: (rb, ct),
                             memory_space=pltpu.VMEM)
-    flags = pl.pallas_call(
+    flags, tn = pl.pallas_call(
         functools.partial(_sphere_flag_kernel, lanes=lanes),
         grid=grid,
-        in_specs=[f_spec, p_spec, p_spec, p_spec],
-        out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((rb_pad, C_pad), jnp.int32),
+        in_specs=[f_spec, p_spec, p_spec, p_spec, rl2_spec],
+        out_specs=[out_spec, out_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((rb_pad, C_pad), jnp.int32),
+            jax.ShapeDtypeStruct((rb_pad, C_pad), jnp.float32),
+        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
         ),
         interpret=interpret,
-    )(feats, planes[0], planes[1], planes[2])
+    )(feats, planes[0], planes[1], planes[2], rl2)
+    if with_tn:
+        return flags[:rowblks] != 0, tn[:rowblks]
     return flags[:rowblks] != 0
 
 
-def _work_list(flags, w_max: int):
-    """Compact bool [rows, C] flags into a cluster-major work list.
+def _work_list(flags, tn, w_max: int):
+    """Compact bool [rows, C] flags into a ROW-MAJOR, NEAR-TO-FAR work list.
 
-    Returns (work_row i32[w_max], work_sub i32[w_max], count i32[1]).
-    Entries past ``count`` repeat entry 0 (no-DMA revisits, idempotent)."""
+    ``tn`` f32 [rows, C]: conservative entry distance per (row group, unit)
+    from the prepass.  Items of one row group are ordered by ascending tn,
+    so the kernel visits a row's units front to back and can stop sweeping
+    once every lane's best hit is closer than the next unit's entry (the
+    termination test rides the returned ``tn_q`` thresholds).
+
+    Returns (work_row i32[w_max], work_sub i32[w_max], count i32[1],
+    tn_q f32[w_max]).  Entries past ``count`` repeat entry 0 (no-DMA
+    revisits, idempotent and scalar-skipped)."""
     rows, C = flags.shape
     w_max = min(w_max, rows * C)  # a small scene can't fill the budget
-    flat = flags.T.reshape(-1)  # cluster-major: consecutive = same cluster
-    order = jnp.argsort(jnp.logical_not(flat), stable=True)[:w_max]
+    flat = flags.reshape(-1)  # row-major
+    idx = jnp.arange(rows * C, dtype=jnp.int32)
+    # sort keys: flagged first, then row group, then near-to-far
+    s = jax.lax.sort(
+        (jnp.logical_not(flat), idx // C, tn.reshape(-1), idx),
+        num_keys=3,
+    )
+    order = s[3][:w_max]
+    tn_q = s[2][:w_max]
     count = jnp.sum(flat.astype(jnp.int32))
     valid = jnp.arange(w_max, dtype=jnp.int32) < count
-    sub = (order // rows).astype(jnp.int32)
-    row = (order % rows).astype(jnp.int32)
+    sub = (order % C).astype(jnp.int32)
+    row = (order // C).astype(jnp.int32)
     sub = jnp.where(valid, sub, sub[0])
     row = jnp.where(valid, row, row[0])
-    return row, sub, count.reshape(1)
+    tn_q = jnp.where(valid, tn_q, tn_q[0])
+    return row, sub, count.reshape(1), tn_q
 
 
 def _plucker_compact_kernel(
-    packed_ref, count_ref,  # scalar prefetch: i32 [W], [1]
+    packed_ref, count_ref, tnq_ref,  # scalar prefetch: i32 [W], [1], f32 [W]
     *refs,  # fan c_refs [1,g,4*F,K], fan f_refs [K,group*128], then outputs
     bf16x3: bool, group: int, g: int, unit_bits: int, fan: int = 1,
 ):
@@ -1067,7 +1124,16 @@ def _plucker_compact_kernel(
 
     Work-item words pack (row group << unit_bits | cull unit).  A unit is
     g consecutive fine 64-tri clusters (g == 1 up to _SPHERE_UNIT_MAX fine
-    clusters — the sphere prepass flags at fine granularity directly)."""
+    clusters — the sphere prepass flags at fine granularity directly).
+
+    EARLY TERMINATION: the list arrives row-major and near-to-far
+    (``_work_list``), and ``tnq_ref[item]`` lower-bounds any hit t in the
+    item's unit for every lane of its row group.  The grid is sequential on
+    one TensorCore, so the launch-resident ``dist_ref`` is up to date when
+    an item is reached: once every lane's best hit is strictly closer than
+    the unit's entry the whole sweep is skipped.  The 1e-4 relative margin
+    covers the 64-ulp packed-key quantization of stored t (stored <= true
+    t < stored * (1 + 2^-16)), so skips can never drop a true winner."""
     c_refs = refs[:fan]
     f_refs = refs[fan:2 * fan]
     prim_ref, dist_ref = refs[2 * fan], refs[2 * fan + 1]
@@ -1088,12 +1154,7 @@ def _plucker_compact_kernel(
 
     iota6 = jax.lax.broadcasted_iota(jnp.int32, (F, group * 128), 0)
 
-    for k in range(fan):
-        item = w * fan + k
-
-        @pl.when(item < count_ref[0])
-        def _work(k=k, item=item):
-            p = packed_ref[item]
+    def _sweeps(k, p):
             for s in range(g):
                 def _fine(k=k, s=s, p=p):
                     # ONE [4*F, K] @ [K, group*128] MXU op per fine cluster
@@ -1140,9 +1201,19 @@ def _plucker_compact_kernel(
 
                 _fine()
 
+    for k in range(fan):
+        item = w * fan + k
+
+        @pl.when(item < count_ref[0])
+        def _outer(k=k, item=item):
+            p = packed_ref[item]
+            cur = dist_ref[pl.ds((p >> unit_bits) * group, group), :]
+            live = jnp.max(cur) * (1.0 + 1e-4) >= tnq_ref[item]
+            pl.when(live)(lambda k=k, p=p: _sweeps(k, p))
+
 
 def _plucker_compact_occl_kernel(
-    packed_ref, count_ref,  # scalar prefetch
+    packed_ref, count_ref, tnq_ref,  # scalar prefetch (tnq unused: any-hit)
     *refs,  # fan c_refs, fan f_refs, fan tm_refs, then occ_ref output
     bf16x3: bool, group: int, g: int, unit_bits: int, fan: int = 1,
 ):
@@ -1164,12 +1235,7 @@ def _plucker_compact_occl_kernel(
         preferred_element_type=jnp.float32,
     )
 
-    for k in range(fan):
-        item = w * fan + k
-
-        @pl.when(item < count_ref[0])
-        def _work(k=k, item=item):
-            p = packed_ref[item]
+    def _sweeps(k, p):
             for s in range(g):
                 def _fine(k=k, s=s, p=p):
                     q = dot(c_refs[k][0, s], f_refs[k][...])
@@ -1198,10 +1264,22 @@ def _plucker_compact_occl_kernel(
 
                 _fine()
 
+    for k in range(fan):
+        item = w * fan + k
+
+        @pl.when(item < count_ref[0])
+        def _work(k=k, item=item):
+            p = packed_ref[item]
+            # early out: once every lane of the row group is occluded
+            # nothing in this (or any later) unit can change the answer
+            cur = occ_ref[pl.ds((p >> unit_bits) * group, group), :]
+            pl.when(jnp.min(cur) == 0)(lambda k=k, p=p: _sweeps(k, p))
+
 
 def _pad_work(packed, fan: int):
-    """Pad the work list to a multiple of ``fan`` (repeat entry 0: padded
-    items are no-DMA revisits and scalar-skipped by the count guard)."""
+    """Pad a work-list array to a multiple of ``fan`` (repeat entry 0:
+    padded items are no-DMA revisits and scalar-skipped by the count
+    guard)."""
     pad = -packed.shape[0] % fan
     if pad:
         packed = jnp.concatenate(
@@ -1228,7 +1306,7 @@ def _compact_pallas_call(kernel, w_max, g, kdim, rows, out_shapes,
     c_specs = [
         pl.BlockSpec(
             (1, g, 4 * CLUSTER_SUB, kdim),
-            (lambda w, pk, cnt, k=k: (pk[w * fan + k] & umask, 0, 0, 0)),
+            (lambda w, pk, cnt, tnq, k=k: (pk[w * fan + k] & umask, 0, 0, 0)),
             memory_space=pltpu.VMEM,
         )
         for k in range(fan)
@@ -1236,7 +1314,7 @@ def _compact_pallas_call(kernel, w_max, g, kdim, rows, out_shapes,
     f_specs = [
         pl.BlockSpec(
             (kdim, group * 128),
-            (lambda w, pk, cnt, k=k: (0, pk[w * fan + k] >> unit_bits)),
+            (lambda w, pk, cnt, tnq, k=k: (0, pk[w * fan + k] >> unit_bits)),
             memory_space=pltpu.VMEM,
         )
         for k in range(fan)
@@ -1244,17 +1322,17 @@ def _compact_pallas_call(kernel, w_max, g, kdim, rows, out_shapes,
     tm_specs = [
         pl.BlockSpec(
             (1, group * 128),
-            (lambda w, pk, cnt, k=k: (0, pk[w * fan + k] >> unit_bits)),
+            (lambda w, pk, cnt, tnq, k=k: (0, pk[w * fan + k] >> unit_bits)),
             memory_space=pltpu.VMEM,
         )
         for k in range(fan)
     ] if with_tm else []
     out_spec = pl.BlockSpec(
-        (rows, 128), lambda w, pk, cnt: (0, 0),
+        (rows, 128), lambda w, pk, cnt, tnq: (0, 0),
         memory_space=pltpu.VMEM,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(steps,),
         in_specs=[*c_specs, *f_specs, *tm_specs],
         out_specs=[out_spec] * len(out_shapes),
@@ -1327,14 +1405,18 @@ def _compact_prepass(
     rowblks = rows // group
     o_pad, d_pad, tm_pad = _pad_rays(ray_o, ray_d, tmax, n_pad)
     if use_sphere:
-        flags = _sphere_flags(cull_bounds, center, o_pad - center, d_pad,
-                              tm_pad, rowblks, lanes=group * 128,
-                              interpret=interpret)
+        flags, tn = _sphere_flags(cull_bounds, center, o_pad - center, d_pad,
+                                  tm_pad, rowblks, lanes=group * 128,
+                                  interpret=interpret, with_tn=True)
     else:
-        flags = _row_flags(cull_bounds, o_pad, d_pad, tm_pad, rowblks,
-                           lanes=group * 128)
-    w_max = min(rowblks * work_per_row, rowblks * C_units)
-    wrow, wsub, count = _work_list(flags, w_max)
+        flags, tn = _row_flags(cull_bounds, o_pad, d_pad, tm_pad, rowblks,
+                               lanes=group * 128, with_tn=True)
+    # SMEM holds 8 B per work item (packed word + tn threshold) out of the
+    # ~1 MB scalar memory on v5e; cap the budget so every (group, wpr)
+    # combination compiles — overflow just means earlier dense fallback
+    w_max = min(rowblks * work_per_row, rowblks * C_units,
+                _SMEM_WORK_BYTES // 8)
+    wrow, wsub, count, tn_q = _work_list(flags, tn, w_max)
     packed = (wrow << unit_bits) | wsub
 
     o = ray_o - center
@@ -1351,7 +1433,7 @@ def _compact_prepass(
         "unit_bits": unit_bits,
         "rows": rows, "n_pad": n_pad, "kdim": 30 if bf16x3 else 10,
         "coeffs": coeffs, "feats": feats,
-        "packed": packed, "count": count, "w_max": w_max,
+        "packed": packed, "count": count, "w_max": w_max, "tn_q": tn_q,
     }
 
 
@@ -1411,11 +1493,13 @@ def intersect_plucker_compact(
     kdim = pp["kdim"]
     coeffs, feats = pp["coeffs"], pp["feats"]
     packed, count, w_max = pp["packed"], pp["count"], pp["w_max"]
+    tn_q = pp["tn_q"]
 
     row_shape = (rows, 128)
 
     def compact(_):
         pk = _pad_work(packed, fan)
+        tq = _pad_work(tn_q, fan)
         call = _compact_pallas_call(
             functools.partial(_plucker_compact_kernel, g=g,
                               bf16x3=bf16x3, group=group,
@@ -1428,7 +1512,7 @@ def intersect_plucker_compact(
             unit_bits=unit_bits, group=group,
             interpret=interpret, fan=fan,
         )
-        return call(pk, count, *([coeffs] * fan), *([feats] * fan))
+        return call(pk, count, tq, *([coeffs] * fan), *([feats] * fan))
 
     def dense(_):
         p, t = intersect_plucker_pallas(
@@ -1507,6 +1591,7 @@ def occlusion_plucker_compact(
     kdim = pp["kdim"]
     coeffs, feats = pp["coeffs"], pp["feats"]
     packed, count, w_max = pp["packed"], pp["count"], pp["w_max"]
+    tn_q = pp["tn_q"]
     tmrow = jnp.pad(max_dist, (0, n_pad - n), constant_values=-FLT_MAX)
     tmrow = tmrow[None, :]  # [1, N_pad] f32
 
@@ -1514,6 +1599,7 @@ def occlusion_plucker_compact(
 
     def compact(_):
         pk = _pad_work(packed, fan)
+        tq = _pad_work(tn_q, fan)
         call = _compact_pallas_call(
             functools.partial(_plucker_compact_occl_kernel, g=g,
                               bf16x3=bf16x3, group=group,
@@ -1524,7 +1610,7 @@ def occlusion_plucker_compact(
             with_tm=True,
             interpret=interpret, fan=fan,
         )
-        return call(pk, count,
+        return call(pk, count, tq,
                     *([coeffs] * fan), *([feats] * fan), *([tmrow] * fan))[0]
 
     def dense(_):
