@@ -45,6 +45,82 @@ def _luminance_np(c: np.ndarray) -> np.ndarray:
     return 0.2126 * c[..., 0] + 0.7152 * c[..., 1] + 0.0722 * c[..., 2]
 
 
+def _cluster_cuts(pmin: np.ndarray, pmax: np.ndarray, sub: int = 64,
+                  lam_frac: float | None = None,
+                  chunk: int = 4096) -> np.ndarray:
+    """Area-optimal segmentation of the leaf-ordered triangles into culling
+    clusters of <= ``sub`` triangles.
+
+    Minimizes  sum_segments(AABB surface area)  +  lambda * n_segments
+    by windowed dynamic programming: a segment ending at triangle i may
+    start at most ``sub`` back, and A_k[k, i] (the area of segment
+    (i-k..i)) is built by running min/max.  lambda = lam_frac * scene box
+    area trades cluster tightness against slot padding (each segment
+    occupies a full ``sub``-slot block in the padded layout) and prepass
+    width.  The DP runs exactly per ``chunk`` (cuts forced at chunk
+    boundaries, negligible at 4k tris) and is vectorized ACROSS chunks so
+    scene load stays sub-second at 100k+ triangles.
+
+    Returns the cut positions, int64 [n_segments + 1] with cuts[0] == 0 and
+    cuts[-1] == T.
+    """
+    # measured (tools-probe, 256^2 wavefronts): teapot flags/ray 0.62-0.65x
+    # at 0.02, hires 0.67-0.68x at 0.005 with ~zero extra clusters; 0.005
+    # is on the flat part of both curves
+    if lam_frac is None:
+        lam_frac = float(os.environ.get("RADISH_CLUSTER_LAMBDA", "0.005"))
+    T = pmin.shape[0]
+    lam = lam_frac * _box_area(pmin.min(axis=0), pmax.max(axis=0))
+
+    n_chunks = -(-T // chunk)
+    T_pad = n_chunks * chunk
+    # pad with copies of the last triangle: zero extra area, cut dropped
+    pmin_p = np.concatenate([pmin, np.repeat(pmin[-1:], T_pad - T, axis=0)])
+    pmax_p = np.concatenate([pmax, np.repeat(pmax[-1:], T_pad - T, axis=0)])
+
+    # A_k[k, i] = area of (i-k .. i), window boxes by running min/max
+    lo = pmin_p.copy()
+    hi = pmax_p.copy()
+    A_k = np.empty((sub, T_pad), np.float32)
+    A_k[0] = _box_area(lo, hi)
+    for k in range(1, sub):
+        lo[k:] = np.minimum(lo[k:], pmin_p[:-k])
+        hi[k:] = np.maximum(hi[k:], pmax_p[:-k])
+        A_k[k] = _box_area(lo, hi)
+    A_k = A_k.reshape(sub, n_chunks, chunk)
+
+    ks = np.arange(sub)
+    cost = np.zeros((n_chunks, chunk + 1), np.float32)
+    back = np.zeros((n_chunks, chunk + 1), np.int32)
+    for i in range(chunk):
+        kmax = min(sub, i + 1)
+        # segment (i-k .. i) within the chunk; candidates [n_chunks, kmax]
+        c = cost[:, i - ks[:kmax]] + A_k[:kmax, :, i].T + lam
+        b = np.argmin(c, axis=1)
+        rows = np.arange(n_chunks)
+        cost[:, i + 1] = c[rows, b]
+        back[:, i + 1] = i - b  # segment start (within chunk)
+
+    cuts = []
+    for ci in range(n_chunks):
+        base = ci * chunk
+        i = chunk
+        cc = []
+        while i > 0:
+            cc.append(base + i)
+            i = back[ci, i]
+        cuts.extend(cc[::-1])
+    cuts = np.asarray([0] + cuts, np.int64)
+    cuts = np.unique(np.minimum(cuts, T))  # drop padded-tail cut points
+    return cuts
+
+
+def _box_area(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    d = np.maximum(hi - lo, 0.0)
+    return 2.0 * (d[..., 0] * d[..., 1] + d[..., 1] * d[..., 2]
+                  + d[..., 0] * d[..., 2])
+
+
 def build_device_scene(
     scene: SceneDesc,
     use_sobol: bool = True,
@@ -178,13 +254,48 @@ def build_device_scene(
     if num_tris > 1024:
         from ..accel.pallas_kernels import CLUSTER_SUB
 
-        n_clusters = -(-num_tris // CLUSTER_SUB)
+        # ---- area-optimal cluster cuts + slot padding ----
+        # Fixed CLUSTER_SUB-sized cuts of the DFS order slice across subtree
+        # boundaries, so some cluster AABBs span spatially distant geometry.
+        # A windowed DP over the leaf order instead picks VARIABLE cut
+        # points minimizing sum(cluster surface area) + lambda * count — the
+        # expected number of per-ray cull flags is proportional to total
+        # cluster area.  Each segment is then PADDED to a full CLUSTER_SUB
+        # slot block (degenerate zero triangles: det == 0, can never hit),
+        # keeping the kernels' positional-id scheme (cluster*64 + sublane)
+        # intact.  Measured (tools-probe, 256^2 wavefronts): teapot flags/ray
+        # 4.56 -> 2.97 primary and 3.56 -> 2.21 bounce at ~6% extra slots.
+        cuts = _cluster_cuts(
+            tri_v.min(axis=1).astype(np.float32),
+            tri_v.max(axis=1).astype(np.float32),
+            sub=CLUSTER_SUB,
+        )
+        sizes = np.diff(cuts)
+        n_clusters = sizes.size
+        t_pad = n_clusters * CLUSTER_SUB
+        slot_of_pos = np.empty(num_tris, np.int32)
         cb = np.empty((n_clusters, 6), np.float32)
         for ci in range(n_clusters):
-            g = tri_v[ci * CLUSTER_SUB:(ci + 1) * CLUSTER_SUB].reshape(-1, 3)
+            a, b = int(cuts[ci]), int(cuts[ci + 1])
+            slot_of_pos[a:b] = ci * CLUSTER_SUB + np.arange(b - a)
+            g = tri_v[a:b].reshape(-1, 3)
             cb[ci, 0:3] = g.min(axis=0)
             cb[ci, 3:6] = g.max(axis=0)
         cluster_bounds = cb
+
+        def _pad(arr, fill=0):
+            out = np.full((t_pad,) + arr.shape[1:], fill, arr.dtype)
+            out[slot_of_pos] = arr
+            return out
+
+        tri_v = _pad(tri_v)
+        tri_n = _pad(tri_n)
+        tri_uv = _pad(tri_uv)
+        material_ids = _pad(material_ids)
+        light_prims = [int(slot_of_pos[p]) for p in light_prims]
+        leaf_map = np.where(
+            leaf_map >= 0, slot_of_pos[np.clip(leaf_map, 0, None)], leaf_map
+        )
 
     # ---- textures ----
     tex_data, tex_off, tex_w, tex_h = pack_textures(scene.textures)
