@@ -368,12 +368,13 @@ def intersect_sorted(ds: DeviceScene, ray_o, ray_d, active=None) -> Interaction:
     ops = (key, lane,
            ray_o[:, 0], ray_o[:, 1], ray_o[:, 2],
            ray_d[:, 0], ray_d[:, 1], ray_d[:, 2])
-    if active is not None:
-        ops = ops + (active,)
     s = jax.lax.sort(ops, num_keys=1)
     lane_s = s[1]
     o_s = jnp.stack(s[2:5], axis=-1)
     d_s = jnp.stack(s[5:8], axis=-1)
+    # liveness rides the sorted KEY's dead bit — no payload column needed
+    # (each payload column costs ~0.6 ms/sort at 640k lanes, tools/sortbench.py)
+    act_s = (s[0] < _DEAD_KEY_BIT) if active is not None else None
 
     if ds.intersector in ("pallas_mxu", "pallas_compact", "pallas_quad"):
         # run just the (prim, dist) sweep on the sorted rays; the inverse
@@ -386,7 +387,7 @@ def intersect_sorted(ds: DeviceScene, ray_o, ray_d, active=None) -> Interaction:
         tmax = None
         if active is not None:
             # dead lanes (sorted to the back) flag no clusters: tmax = -inf
-            tmax = jnp.where(s[8], FLT_MAX, -FLT_MAX)
+            tmax = jnp.where(act_s, FLT_MAX, -FLT_MAX)
         prim_s, dist_s = isect(
             ds.tri_packed, o_s, d_s,
             tri_order=ds.tri_order, cluster_bounds=ds.cluster_bounds,
@@ -403,8 +404,7 @@ def intersect_sorted(ds: DeviceScene, ray_o, ray_d, active=None) -> Interaction:
 
     # generic intersectors (bvh / brute on CPU): full sorted intersect,
     # inverse sort carries the whole interaction
-    act_p = s[8] if active is not None else None
-    it = intersect(ds, o_s, d_s, active=act_p)
+    it = intersect(ds, o_s, d_s, active=act_s)
     u = jax.lax.sort(
         (lane_s, it.prim_id, it.mat_id,
          it.pos[:, 0], it.pos[:, 1], it.pos[:, 2],
@@ -538,8 +538,12 @@ def test_occlusion_sorted(ds: DeviceScene, x, y, mask=None):
     )
     occ = test_occlusion(ds, jnp.stack(s[2:5], axis=-1),
                          jnp.stack(s[5:8], axis=-1))
-    u = jax.lax.sort((s[1], occ), num_keys=1)
-    return u[1]
+    # pack the 1-bit result into the lane key: (lane << 1) | occ sorts
+    # identically to lane (lanes are distinct), so the inverse permutation
+    # is a single-column sort instead of key + payload
+    packed = (s[1] << 1) | occ.astype(jnp.int32)
+    u = jax.lax.sort((packed,), num_keys=1)
+    return (u[0] & 1).astype(jnp.bool_)
 
 
 def test_occlusion(ds: DeviceScene, x, y):
