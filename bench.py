@@ -47,7 +47,7 @@ def _time_frames(step_fn, n_warmup: int = 2, n_iter: int = 8):
     return (time.perf_counter() - t0) / n_iter * 1e3
 
 
-def bench(quick: bool = False, verbose: bool = True):
+def bench(quick: bool = False, verbose: bool = True, only: list | None = None):
     import jax
 
     from radish_pt_tpu.utils.cache import enable_persistent_cache
@@ -76,6 +76,8 @@ def bench(quick: bool = False, verbose: bool = True):
             scenes.append((extra, path))
     if quick:
         scenes = scenes[:2]
+    if only:
+        scenes = [(n, p) for n, p in scenes if n in only]
 
     for name, path in scenes:
         # one failing config must not zero the whole bench (the driver
@@ -225,11 +227,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="256x256, fewer iters")
     ap.add_argument("--json-only", action="store_true")
+    ap.add_argument("--scenes", nargs="*", default=None,
+                    help="bench only these scene names (timeout-window runs)")
     args = ap.parse_args()
 
     import jax
 
-    out = bench(quick=args.quick, verbose=not args.json_only)
+    out = bench(quick=args.quick, verbose=not args.json_only, only=args.scenes)
     out["backend"] = jax.devices()[0].platform
     print(json.dumps(out))
 
