@@ -1088,6 +1088,14 @@ def _work_list(flags, tn, w_max: int):
     once every lane's best hit is closer than the next unit's entry (the
     termination test rides the returned ``tn_q`` thresholds).
 
+    The sort rides ONE packed i32 key (notflag | row | top tn bits) plus the
+    item-index payload — each extra 640k-lane sort column costs ~0.6 ms and
+    this list is rebuilt for EVERY sweep (tools/sortbench.py), so the old
+    4-operand form paid ~2x per prepass.  tn enters the key quantized to its
+    top mantissa/exponent bits; the thresholds handed to the kernel are the
+    DEQUANTIZED (rounded-down) values, which still lower-bound every true
+    hit in the unit, so early termination stays conservative.
+
     Returns (work_row i32[w_max], work_sub i32[w_max], count i32[1],
     tn_q f32[w_max]).  Entries past ``count`` repeat entry 0 (no-DMA
     revisits, idempotent and scalar-skipped)."""
@@ -1095,13 +1103,25 @@ def _work_list(flags, tn, w_max: int):
     w_max = min(w_max, rows * C)  # a small scene can't fill the budget
     flat = flags.reshape(-1)  # row-major
     idx = jnp.arange(rows * C, dtype=jnp.int32)
-    # sort keys: flagged first, then row group, then near-to-far
-    s = jax.lax.sort(
-        (jnp.logical_not(flat), idx // C, tn.reshape(-1), idx),
-        num_keys=3,
+    row_bits = max((rows - 1).bit_length(), 1)
+    tn_bits = 30 - row_bits  # notflag bit 30 keeps the key non-negative
+    # tn >= 0 always (prepass clamps), so its f32 bit pattern is a
+    # non-negative int that orders like the float; keep the top bits
+    tnb = jax.lax.shift_right_logical(
+        jax.lax.bitcast_convert_type(tn.reshape(-1), jnp.int32),
+        31 - tn_bits,
     )
-    order = s[3][:w_max]
-    tn_q = s[2][:w_max]
+    key = (
+        (jnp.logical_not(flat).astype(jnp.int32) << 30)
+        | ((idx // C) << tn_bits)
+        | tnb
+    )
+    s = jax.lax.sort((key, idx), num_keys=1)
+    order = s[1][:w_max]
+    tn_q = jax.lax.bitcast_convert_type(
+        (s[0][:w_max] & ((1 << tn_bits) - 1)) << (31 - tn_bits),
+        jnp.float32,
+    )
     count = jnp.sum(flat.astype(jnp.int32))
     valid = jnp.arange(w_max, dtype=jnp.int32) < count
     sub = (order % C).astype(jnp.int32)

@@ -91,8 +91,6 @@ def main():
             continue
         ds, cam = scenes[name]
         for engine in ("pallas_mxu", "pallas_quad", "pallas_compact"):
-            if name == "teapot_hires" and engine != "pallas_compact":
-                continue  # dense scans at 111k tris: minutes
             try:
                 ms = frame_ms(ds.replace(intersector=engine), cam)
                 print(f"  {name:14s} {engine:15s} {ms:8.2f} ms", flush=True)
