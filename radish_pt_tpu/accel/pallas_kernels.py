@@ -343,11 +343,14 @@ def _plucker_kernel(
                     v = jnp.minimum(v, sd - bxd - byd)
                     v = jnp.minimum(v, sd - PLUCKER_EPS2)
                     tdd = td * det
-                    valid = (v >= 0.0) & (tdd > 0.0)
+                    # validity folded into ONE min: u > 0 ⟺ v > 0 & tdd > 0
+                    # (v == 0 exact-edge hits are rejected, matching the
+                    # quad kernel's mmin > 0 — measure-zero for real rays)
+                    u = jnp.minimum(v, tdd)
                     # t = td/det = tdd/sd via rsqrt (div is the single most
                     # expensive epilogue op); sd=0 lanes are invalid-masked
                     rs = jax.lax.rsqrt(sd)
-                    tval = jnp.where(valid, tdd * rs * rs, FLT_MAX)
+                    tval = jnp.where(u > 0.0, tdd * rs * rs, FLT_MAX)
                     key = (
                         jax.lax.bitcast_convert_type(tval, jnp.int32) & ~63
                     ) | iota6
@@ -440,11 +443,17 @@ def _plucker_occl_kernel(
                     v = jnp.minimum(v, sd - PLUCKER_EPS2)
                     tdd = td * det
                     tm = tm_ref[:, r * 128:(r + 1) * 128]  # [1, 128] f32
-                    hit = (v >= 0.0) & (tdd > 0.0) & (tdd < tm * sd)
-                    any_hit = jnp.max(
-                        hit.astype(jnp.int32), axis=0, keepdims=True
+                    # hit ⟺ v > 0 & tdd > 0 & tm*sd - tdd > 0, folded into
+                    # one min so the per-pair compare/and chain becomes a
+                    # single f32 max-reduce + one per-row compare (the sign
+                    # of a f32 subtraction is always exact, so the range
+                    # test is unchanged; v == 0 edge hits drop, matching
+                    # the quad kernel)
+                    w = jnp.minimum(jnp.minimum(v, tdd), tm * sd - tdd)
+                    wmax = jnp.max(w, axis=0, keepdims=True)
+                    occ_s[row, :] = occ_s[row, :] | (wmax > 0.0).astype(
+                        jnp.int32
                     )
-                    occ_s[row, :] = occ_s[row, :] | any_hit
 
                 if use_mask:
                     pl.when((mask_ref[0, r, c] >> s) & 1 != 0)(_sweep)
@@ -520,6 +529,38 @@ def _cluster_mask_bits(cluster_bounds, ray_o, ray_d, tmax, n_blocks, n_chunks,
     return packed.reshape(n_blocks, RAY_BLOCK // 128, n_chunks)
 
 
+# Above this many fine cull clusters the scan engines' [rays, C] slab
+# prepass (~27 VPU ops per pair) switches to the MXU sphere test
+# (_sphere_flags, one bf16x3 matmul): at 111k tris / 1,755 clusters the
+# slab pass alone is ~30 Gops of VPU work per sweep while the sphere pass
+# measured 13 ms; sphere flags are a strict superset (never a false miss),
+# so the only cost is whatever extra clusters the looser bound sweeps
+# (tools/sphere_tightness.py measures the row-union ratio per scene).
+_SCAN_SPHERE_MIN_C = 384
+
+
+def _scan_mask_bits(cluster_bounds, center, ray_o, ray_d, tmax,
+                    n_blocks, n_chunks, subs_per_chunk, interpret=False):
+    """Dispatch the scan engines' cull-mask prepass: exact slab test for
+    small cluster counts, MXU sphere test above _SCAN_SPHERE_MIN_C.
+    Requires |ray_d| = 1 on the sphere path (all engine callers normalize)."""
+    C = cluster_bounds.shape[0]
+    if C < _SCAN_SPHERE_MIN_C:
+        return _cluster_mask_bits(cluster_bounds, ray_o, ray_d, tmax,
+                                  n_blocks, n_chunks, subs_per_chunk)
+    n_pad = n_blocks * RAY_BLOCK
+    o, d, tm = _pad_rays(ray_o, ray_d, tmax, n_pad)
+    rows = n_blocks * (RAY_BLOCK // 128)
+    flags = _sphere_flags(cluster_bounds, center, o - center, d, tm,
+                          rows, lanes=128, interpret=interpret)
+    pad_c = n_chunks * subs_per_chunk - C
+    f = jnp.pad(flags[:, :C], ((0, 0), (0, pad_c)))
+    bits = f.reshape(rows, n_chunks, subs_per_chunk).astype(jnp.int32)
+    w = (1 << jnp.arange(subs_per_chunk, dtype=jnp.int32))[None, None]
+    packed = jnp.sum(bits * w, axis=-1, dtype=jnp.int32)
+    return packed.reshape(n_blocks, RAY_BLOCK // 128, n_chunks)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "bf16x3"))
 def intersect_plucker_pallas(
     tri_packed, ray_o, ray_d,
@@ -590,9 +631,9 @@ def intersect_plucker_pallas(
 
     use_mask = cluster_bounds is not None
     if use_mask:
-        mask = _cluster_mask_bits(
-            cluster_bounds, ray_o, ray_d, tmax,
-            n_blocks, n_chunks, subs_per_chunk,
+        mask = _scan_mask_bits(
+            cluster_bounds, center, ray_o, ray_d, tmax,
+            n_blocks, n_chunks, subs_per_chunk, interpret=interpret,
         )
     else:  # unread by the kernel (use_mask=False skips every branch)
         mask = jnp.zeros((n_blocks, 1, 1), jnp.int32)
@@ -711,9 +752,9 @@ def occlusion_plucker_pallas(tri_packed, x, y,
 
     use_mask = cluster_bounds is not None
     if use_mask:
-        mask = _cluster_mask_bits(
-            cluster_bounds, ray_o, ray_d, max_dist,
-            n_blocks, n_chunks, subs_per_chunk,
+        mask = _scan_mask_bits(
+            cluster_bounds, center, ray_o, ray_d, max_dist,
+            n_blocks, n_chunks, subs_per_chunk, interpret=interpret,
         )
     else:  # unread by the kernel (use_mask=False skips every branch)
         mask = jnp.zeros((n_blocks, 1, 1), jnp.int32)
@@ -926,7 +967,13 @@ _SPHERE_NEG = -1e37  # "never flags" (finite: -FLT_MAX would become -inf
 
 def _sphere_feats(o, d, tm):
     """Per-ray sphere-test features, f32 [N, 16] (see block comment).
-    tm is clamped to +-1e37 so its bf16 hi part stays finite."""
+    tm is clamped to +-1e37 so its bf16 hi part stays finite.
+
+    tm <= 0 lanes are forced to -1e37 (plane E kills them): a segment
+    window [0, tm] with tm <= 0 is empty, so this is exact — and it
+    protects the flags from DEGENERATE rays (masked shadow lanes use a
+    zero-length segment whose d normalizes to ~0, which would otherwise
+    zero the dd/md/m2 features and make plane A flag every unit)."""
     mm = jnp.cross(o, d)
     dd6 = jnp.stack(
         [d[:, 0] * d[:, 0], d[:, 1] * d[:, 1], d[:, 2] * d[:, 2],
@@ -937,7 +984,7 @@ def _sphere_feats(o, d, tm):
     m2 = jnp.sum(mm * mm, axis=1, keepdims=True)
     do = jnp.sum(d * o, axis=1, keepdims=True)
     one = jnp.ones_like(m2)
-    tmc = jnp.clip(tm, -1e37, 1e37)
+    tmc = jnp.where(tm > 0.0, jnp.clip(tm, -1e37, 1e37), -1e37)
     return jnp.concatenate(
         [dd6, md, m2, do, d, tmc[:, None], one], axis=1
     )
@@ -1191,9 +1238,10 @@ def _plucker_compact_kernel(
                     v = jnp.minimum(v, sd - bxd - byd)
                     v = jnp.minimum(v, sd - PLUCKER_EPS2)
                     tdd = td * det
-                    valid = (v >= 0.0) & (tdd > 0.0)
+                    # u > 0 ⟺ valid (see the scan kernel's epilogue note)
+                    u = jnp.minimum(v, tdd)
                     rs = jax.lax.rsqrt(sd)  # t = tdd/sd without the divide
-                    tval = jnp.where(valid, tdd * rs * rs, FLT_MAX)
+                    tval = jnp.where(u > 0.0, tdd * rs * rs, FLT_MAX)
 
                     # packed-key argmin: sublane id in the low 6 mantissa
                     # bits, one integer min-reduce (see the scan kernel)
@@ -1271,12 +1319,12 @@ def _plucker_compact_occl_kernel(
                     v = jnp.minimum(v, sd - bxd - byd)
                     v = jnp.minimum(v, sd - PLUCKER_EPS2)
                     tdd = td * det
-                    hit = (v >= 0.0) & (tdd > 0.0) & (
-                        tdd < tm_refs[k][...] * sd
+                    # folded range/validity min (see the scan occl kernel)
+                    w2 = jnp.minimum(
+                        jnp.minimum(v, tdd), tm_refs[k][...] * sd - tdd
                     )
-                    any_hit = jnp.max(
-                        hit.astype(jnp.int32), axis=0, keepdims=True
-                    )
+                    wmax = jnp.max(w2, axis=0, keepdims=True)
+                    any_hit = (wmax > 0.0).astype(jnp.int32)
                     for j in range(group):
                         col = slice(j * 128, (j + 1) * 128)
                         row = pl.ds((p >> unit_bits) * group + j, 1)

@@ -194,7 +194,7 @@ def path_trace(
         # cost teapot 175 -> 314 ms/frame (measured round 2)
         r4, sampler = rng.sample_4d(ds.sobol, sampler)
         li, wi, light_pdf = dsc.sample_direct_light(
-            ds, pos, r4, mask=active & ~is_delta_bsdf
+            ds, pos, r4, mask=active & ~is_delta_bsdf, shade_normal=norm
         )
         nee_ok = active & (~is_delta_bsdf) & (light_pdf > 0.0)
         f = bsdf.bsdf_eval(mat, norm, wo, wi, types=ds.mat_types)
@@ -301,7 +301,8 @@ def path_trace_direct(
 
     shade = hit & ~is_light & ~is_delta_bsdf
     r4, sampler = rng.sample_4d(ds.sobol, sampler)
-    li, wi, light_pdf = dsc.sample_direct_light(ds, it.pos, r4, mask=shade)
+    li, wi, light_pdf = dsc.sample_direct_light(ds, it.pos, r4, mask=shade,
+                                                shade_normal=norm)
     ok = shade & (light_pdf > 0.0)
     f = bsdf.bsdf_eval(mat, norm, wo, wi, types=ds.mat_types)
     contrib = f * li * (m.sat_dot(norm, wi) / jnp.maximum(light_pdf, 1e-12))[..., None]

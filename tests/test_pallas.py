@@ -587,3 +587,67 @@ def test_precomputed_coeffs_shape_fallback(scene_rays):
         tri_packed, ray_o, ray_d, coeffs_pre=bad, center_pre=ce,
         interpret=True)
     np.testing.assert_array_equal(np.asarray(p1), np.asarray(p0))
+
+
+def test_scan_sphere_prepass_matches_brute(scene_rays, monkeypatch):
+    """Force the SCAN engines' MXU sphere prepass (monkeypatched
+    _SCAN_SPHERE_MIN_C) on the small fixture: intersect + occlusion +
+    dead lanes all agree with brute force — the sphere flags are a strict
+    superset of the slab flags, so winners must be identical."""
+    import radish_pt_tpu.accel.pallas_kernels as pk
+
+    monkeypatch.setattr(pk, "_SCAN_SPHERE_MIN_C", 0)
+    tri_packed, ray_o, ray_d = scene_rays
+    cb = jnp.asarray(_make_cluster_bounds(tri_packed))
+    p0, d0, _ = trv.intersect_brute(tri_packed, ray_o, ray_d)
+    p1, d1 = pk.intersect_plucker_pallas(
+        tri_packed, ray_o, ray_d, cluster_bounds=cb, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p0))
+    hits = np.asarray(p0) >= 0
+    np.testing.assert_allclose(
+        np.asarray(d1)[hits], np.asarray(d0)[hits], rtol=5e-3
+    )
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(-4, 4, size=(64, 3)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(-4, 4, size=(64, 3)).astype(np.float32))
+    o0 = trv.occlusion_brute(tri_packed, x, y)
+    o1 = pk.occlusion_plucker_pallas(
+        tri_packed, x, y, cluster_bounds=cb, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o0))
+
+    # dead lanes (tmax = -FLT_MAX) stay dead through the sphere prepass
+    active = np.zeros(ray_o.shape[0], bool)
+    active[::3] = True
+    tmax = jnp.where(jnp.asarray(active), pk.FLT_MAX, -pk.FLT_MAX)
+    p2, _ = pk.intersect_plucker_pallas(
+        tri_packed, ray_o, ray_d, cluster_bounds=cb, tmax=tmax,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(p2)[active], np.asarray(p0)[active]
+    )
+
+
+def test_degenerate_masked_segments_flag_nothing():
+    """A masked shadow lane (zero-length segment, tm <= 0) must flag NO
+    cull units through the sphere prepass — dead-lane packing is what
+    makes late-bounce occlusion nearly free, and a degenerate direction
+    would otherwise zero the quadratic features and flag every unit."""
+    import radish_pt_tpu.accel.pallas_kernels as pk
+
+    rng = np.random.default_rng(2)
+    cb = jnp.asarray(
+        np.stack([rng.uniform(-5, 0, (32, 3)), rng.uniform(0, 5, (32, 3))],
+                 axis=1).reshape(32, 6).astype(np.float32))
+    center = jnp.zeros(3, jnp.float32)
+    n = 128
+    o = jnp.asarray(rng.uniform(-4, 4, (n, 3)).astype(np.float32))
+    d = jnp.zeros((n, 3), jnp.float32)  # degenerate normalized segment
+    tm = jnp.full((n,), -1e-4)  # dist - eps of a zero-length segment
+    flags = np.asarray(
+        pk._sphere_flags(cb, center, o, d, tm, 1, 128, interpret=True)
+    )
+    assert not flags.any()
