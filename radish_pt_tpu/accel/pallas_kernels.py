@@ -529,14 +529,16 @@ def _cluster_mask_bits(cluster_bounds, ray_o, ray_d, tmax, n_blocks, n_chunks,
     return packed.reshape(n_blocks, RAY_BLOCK // 128, n_chunks)
 
 
-# Above this many fine cull clusters the scan engines' [rays, C] slab
-# prepass (~27 VPU ops per pair) switches to the MXU sphere test
-# (_sphere_flags, one bf16x3 matmul): at 111k tris / 1,755 clusters the
-# slab pass alone is ~30 Gops of VPU work per sweep while the sphere pass
-# measured 13 ms; sphere flags are a strict superset (never a false miss),
-# so the only cost is whatever extra clusters the looser bound sweeps
-# (tools/sphere_tightness.py measures the row-union ratio per scene).
-_SCAN_SPHERE_MIN_C = 384
+# Cluster-count threshold above which the scan engines' [rays, C] slab
+# prepass would switch to the MXU sphere test (_sphere_flags).  MEASURED
+# OUT on v5e (round 2, tools/prepassbench.py + tools/frame_ab.py at
+# teapot_hires, 111k tris / 1,755 clusters): XLA fuses the slab test to
+# ~7.6 ms per 640k-lane sweep — NOT the bottleneck — while the sphere
+# flags are 1.6-1.8x looser row-union (tools/sphere_tightness.py), which
+# inflated the hires frame 853 -> 1979 ms.  The path is kept (tested via
+# monkeypatch) in case a future memory-bound regime changes the balance;
+# do not re-enable without re-running frame_ab.
+_SCAN_SPHERE_MIN_C = 1 << 30
 
 
 def _scan_mask_bits(cluster_bounds, center, ray_o, ray_d, tmax,
@@ -1958,12 +1960,13 @@ def _quad_occl_kernel(
                         jnp.minimum(q1, q2), jnp.minimum(q3, q4)
                     )
                     mmin = jnp.minimum(mmin, jnp.minimum(q5, q6))
-                    hit = mmin > 0.0
-                    any_hit = jnp.max(
-                        hit.astype(jnp.int32), axis=0, keepdims=True
-                    )
+                    # reduce FIRST, compare once per row (saves the
+                    # per-pair compare + int cast)
+                    wmax = jnp.max(mmin, axis=0, keepdims=True)
                     row = pl.ds(base + r, 1)
-                    occ_s[row, :] = occ_s[row, :] | any_hit
+                    occ_s[row, :] = occ_s[row, :] | (wmax > 0.0).astype(
+                        jnp.int32
+                    )
 
                 if use_mask:
                     pl.when((mask_ref[0, r, c] >> s) & 1 != 0)(_sweep)

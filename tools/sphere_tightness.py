@@ -39,6 +39,21 @@ from radish_pt_tpu.utils import math as m  # noqa: E402
 from bounce_stats import flags as slab_flags  # noqa: E402
 
 
+def slab_flags_tn(cb, ray_o, ray_d, active):
+    """Slab flags + per-(ray, cluster) entry distances (like
+    _row_flags(with_tn=True) before the row reduce)."""
+    inv = 1.0 / jnp.where(jnp.abs(ray_d) > 1e-12, ray_d, 1e-12)
+    tn = jnp.full((ray_o.shape[0], cb.shape[0]), -3.4e38)
+    tf = jnp.full((ray_o.shape[0], cb.shape[0]), 3.4e38)
+    for k in range(3):
+        a = (cb[None, :, k] - ray_o[:, k, None]) * inv[:, k, None]
+        b = (cb[None, :, 3 + k] - ray_o[:, k, None]) * inv[:, k, None]
+        tn = jnp.maximum(tn, jnp.minimum(a, b))
+        tf = jnp.minimum(tf, jnp.maximum(a, b))
+    hit = (tf >= jnp.maximum(tn, 0.0)) & active[:, None]
+    return hit, tn
+
+
 def sphere_flags(cb, ray_o, ray_d, active):
     """Exact ray-vs-bounding-sphere flags (unit |d|), bool [N, C]."""
     p = 0.5 * (cb[:, 0:3] + cb[:, 3:6])  # [C, 3]
@@ -81,6 +96,41 @@ def row_stats(h, perm):
     return per_ray, row
 
 
+def termination_stats(hs, tn, t_true, win_unit, perm):
+    """Mean swept units/row under the compact engine's NEAR-TO-FAR early
+    termination, modeled faithfully: walk each 128-lane row's flagged
+    units in entry order; a lane's best distance becomes its true t only
+    once the unit CONTAINING its winner is swept (misses never settle,
+    dead lanes start settled at 0); stop before a unit whose row entry
+    bound exceeds every lane's best-so-far."""
+    hs, tn = hs[perm], tn[perm]
+    t_true, win_unit = t_true[perm], win_unit[perm]
+    n = hs.shape[0] - hs.shape[0] % 128
+    hs, tn = hs[:n], tn[:n]
+    t_true, win_unit = t_true[:n], win_unit[:n]
+    rows = n // 128
+    flag = hs.reshape(rows, 128, -1).any(axis=1)  # [rows, C]
+    tn_row = np.where(hs, np.maximum(tn, 0.0), np.inf).reshape(
+        rows, 128, -1).min(axis=1)  # [rows, C]
+    t_row = t_true.reshape(rows, 128)
+    w_row = win_unit.reshape(rows, 128)
+    swept = 0
+    for r in range(rows):
+        units = np.nonzero(flag[r])[0]
+        order = units[np.argsort(tn_row[r, units])]
+        cur = t_row[r].copy()
+        unsettled = np.isfinite(cur) & (cur > 0.0)
+        cur[unsettled] = np.inf  # live hit lanes settle at their winner unit
+        k = len(order)
+        for i, u in enumerate(order):
+            if i and cur.max() < tn_row[r, u]:
+                k = i
+                break
+            cur[w_row[r] == u] = t_row[r][w_row[r] == u]
+        swept += k
+    return swept / rows
+
+
 def main():
     scene_path = sys.argv[1] if len(sys.argv) > 1 else "scenes/teapot_hires.txt"
     res = int(sys.argv[2]) if len(sys.argv) > 2 else 256
@@ -115,7 +165,9 @@ def main():
     sp2 = jax.jit(lambda o, d, a: split_sphere_flags(sb2, 2, o, d, a))
     sp4 = jax.jit(lambda o, d, a: split_sphere_flags(sb4, 4, o, d, a))
 
-    def report(tag, o, d, act, perm):
+    slab_tn = jax.jit(lambda o, d, a: slab_flags_tn(cb, o, d, a))
+
+    def report(tag, o, d, act, perm, it=None):
         hs = np.asarray(slab(o, d, act))
         hp = np.asarray(sph(o, d, act))
         h2 = np.asarray(sp2(o, d, act))
@@ -128,14 +180,38 @@ def main():
         _, rowp = row_stats(hp, perm)
         _, row2 = row_stats(h2, perm)
         _, row4 = row_stats(h4, perm)
-        print(f"  {tag:20s} slab row {rows:7.2f}   "
+        # full-mask lexsort = an upper bound on what ANY sort key can
+        # recover at 128-lane row granularity (rays grouped by their
+        # entire flag vector, nearest cluster most significant)
+        lex = np.lexsort(hs.T[::-1])
+        _, rowlex = row_stats(hs, lex)
+        cnt = hs.sum(axis=1)
+        live = cnt[np.asarray(act)]
+        if live.size:
+            q = np.percentile(live, [50, 90, 99])
+            print(f"    per-ray flag tail (live lanes): p50 {q[0]:.0f} "
+                  f"p90 {q[1]:.0f} p99 {q[2]:.0f} max {live.max()}",
+                  flush=True)
+        print(f"  {tag:20s} slab row {rows:7.2f} (per-ray {prs:5.2f}, "
+              f"lexsort ideal {rowlex:7.2f})   "
               f"sphere {rowp:7.2f} (x{rowp / max(rows, 1e-9):.2f})   "
               f"split2 {row2:7.2f} (x{row2 / max(rows, 1e-9):.2f})   "
               f"split4 {row4:7.2f} (x{row4 / max(rows, 1e-9):.2f})",
               flush=True)
+        if it is not None:
+            _, tn = jax.device_get(slab_tn(o, d, act))
+            prim = np.asarray(it.prim_id)
+            t_true = np.linalg.norm(
+                np.asarray(it.pos) - np.asarray(o), axis=-1)
+            t_true = np.where(prim >= 0, t_true, np.inf)
+            t_true = np.where(np.asarray(act), t_true, 0.0)  # dead: settled
+            win = np.where(prim >= 0, prim // 64, -1)
+            term = termination_stats(hs, np.asarray(tn), t_true, win, perm)
+            print(f"    near-to-far termination bound: {term:7.2f} "
+                  f"units/row (vs union {rows:.2f})", flush=True)
 
     report("primary (tile order)", ray_o, ray_d, hit,
-           np.arange(n))
+           np.arange(n), it=it)
 
     for depth in range(1, max_depth + 1):
         wo = -ray_d
@@ -152,9 +228,8 @@ def main():
         key = np.asarray(keyf(ray_o, ray_d))
         key = key + np.where(np.asarray(active), 0, 1 << 24)
         perm = np.argsort(key, kind="stable")
-        report(f"bounce {depth} (sorted)", ray_o, ray_d, active, perm)
-
         it = isect(ray_o, ray_d)
+        report(f"bounce {depth} (sorted)", ray_o, ray_d, active, perm, it=it)
         miss = active & (it.prim_id == -1)
         active = active & ~miss
         pos = it.pos
