@@ -229,7 +229,7 @@ def surface_info(ds: DeviceScene, prim_id, bary) -> tuple:
     return pos, norm, uvi, mat_id
 
 
-def surface_info_from_t(ds: DeviceScene, prim_id, ray_o, ray_d, dist):
+def surface_info_from_t(ds: DeviceScene, prim_id, ray_o, ray_d, dist=None):
     """Position/normal/uv from the winning PRIMITIVE id (MXU intersector path).
 
     The MXU sweep's ``t`` is selector-grade only: the quadratic-feature
@@ -239,9 +239,10 @@ def surface_info_from_t(ds: DeviceScene, prim_id, ray_o, ray_d, dist):
     the gathered triangle row via the well-conditioned ray-plane form
     t = (v0−o)·n / (d·n), then derive barycentrics by projecting onto the
     edge basis.  Uses the same single [T,25] attribute gather as
-    :func:`surface_info` — no extra memory traffic; ``dist`` is unused
-    except as a sanity clamp for dead lanes.
+    :func:`surface_info` — no extra memory traffic; ``dist`` is accepted
+    for signature compatibility and never read.
     """
+    del dist
     a = take_rows(ds.tri_attr, jnp.maximum(prim_id, 0))
     v0 = a[:, 0:3]
     e1 = a[:, 3:6] - v0
@@ -393,12 +394,15 @@ def intersect_sorted(ds: DeviceScene, ray_o, ray_d, active=None) -> Interaction:
             tri_order=ds.tri_order, cluster_bounds=ds.cluster_bounds,
             tmax=tmax, **tuning,
         )
-        u = jax.lax.sort((lane_s, prim_s, dist_s), num_keys=1)
-        prim, dist = u[1], u[2]
+        # the sweep's dist is selector-grade only and surface_info_from_t
+        # recomputes the exact t from the winner id — so the inverse
+        # permutation carries just (lane, prim), one payload column
+        del dist_s
+        u = jax.lax.sort((lane_s, prim_s), num_keys=1)
+        prim = u[1]
         if active is not None:
             prim = jnp.where(active, prim, -1)
-        pos, norm, uv, mat_id = surface_info_from_t(ds, prim, ray_o, ray_d,
-                                                    dist)
+        pos, norm, uv, mat_id = surface_info_from_t(ds, prim, ray_o, ray_d)
         return Interaction(prim_id=prim, mat_id=mat_id, pos=pos, norm=norm,
                            uv=uv)
 
