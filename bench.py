@@ -103,6 +103,26 @@ def bench(quick: bool = False, verbose: bool = True, only: list | None = None):
         results[f"{name}_pt_mrays"] = round(mrays, 2)
         log(f"[{name}] full PT {res}x{res} depth={depth}: {ms:.2f} ms/frame, {mrays:.1f} Mrays/s")
 
+        # utilization accounting (the MFU analogue): swept-pair throughput
+        # vs the measured VPU/MXU ceilings + cull efficiency vs the per-ray
+        # floor (utils/pairstats.py; model constants documented there)
+        try:
+            from radish_pt_tpu.utils import pairstats as ps
+
+            st = ps.frame_pair_stats(ds, cam, 1, depth)
+            if st is not None:
+                util = ps.utilization(st, ms)
+                results[f"{name}_gpairs_per_s"] = util["gpairs_per_s"]
+                results[f"{name}_vpu_util_pct"] = util["vpu_util_pct"]
+                results[f"{name}_mxu_util_pct"] = util["mxu_util_pct"]
+                results[f"{name}_cull_eff_pct"] = util["cull_efficiency_pct"]
+                log(f"[{name}] util: {util['gpairs_per_s']} Gpairs/s "
+                    f"({util['vpu_util_pct']}% VPU, {util['mxu_util_pct']}% "
+                    f"MXU model), cull eff {util['cull_efficiency_pct']}% "
+                    f"of per-ray floor")
+        except Exception as e:  # noqa: BLE001
+            log(f"[{name} util] skipped: {type(e).__name__}: {e}")
+
         # batched steady state: block spp per dispatch (fori_loop in one
         # jit) — the per-frame cost without the ~20 ms tunnel dispatch RTT,
         # i.e. the honest analogue of the reference's on-GPU kernel timing

@@ -229,7 +229,7 @@ def surface_info(ds: DeviceScene, prim_id, bary) -> tuple:
     return pos, norm, uvi, mat_id
 
 
-def surface_info_from_t(ds: DeviceScene, prim_id, ray_o, ray_d, dist=None):
+def surface_info_from_t(ds: DeviceScene, prim_id, ray_o, ray_d):
     """Position/normal/uv from the winning PRIMITIVE id (MXU intersector path).
 
     The MXU sweep's ``t`` is selector-grade only: the quadratic-feature
@@ -239,10 +239,8 @@ def surface_info_from_t(ds: DeviceScene, prim_id, ray_o, ray_d, dist=None):
     the gathered triangle row via the well-conditioned ray-plane form
     t = (v0−o)·n / (d·n), then derive barycentrics by projecting onto the
     edge basis.  Uses the same single [T,25] attribute gather as
-    :func:`surface_info` — no extra memory traffic; ``dist`` is accepted
-    for signature compatibility and never read.
+    :func:`surface_info` — no extra memory traffic.
     """
-    del dist
     a = take_rows(ds.tri_attr, jnp.maximum(prim_id, 0))
     v0 = a[:, 0:3]
     e1 = a[:, 3:6] - v0
@@ -318,7 +316,8 @@ def intersect(ds: DeviceScene, ray_o, ray_d, active=None) -> Interaction:
         )
         if active is not None:
             prim = jnp.where(active, prim, -1)
-        pos, norm, uv, mat_id = surface_info_from_t(ds, prim, ray_o, ray_d, dist)
+        del dist  # selector-grade; surface_info_from_t recomputes exact t
+        pos, norm, uv, mat_id = surface_info_from_t(ds, prim, ray_o, ray_d)
         return Interaction(prim_id=prim, mat_id=mat_id, pos=pos, norm=norm, uv=uv)
     if ds.intersector == "pallas_brute":
         from ..accel.pallas_kernels import intersect_brute_pallas
@@ -379,9 +378,9 @@ def intersect_sorted(ds: DeviceScene, ray_o, ray_d, active=None) -> Interaction:
 
     if ds.intersector in ("pallas_mxu", "pallas_compact", "pallas_quad"):
         # run just the (prim, dist) sweep on the sorted rays; the inverse
-        # sort then carries only 2 payload columns and the surface/material
-        # interpolation happens in PIXEL order (same gather cost, ~8 fewer
-        # sort columns)
+        # sort then carries one payload column (lane key + prim) and the
+        # surface/material interpolation happens in PIXEL order (same
+        # gather cost, ~8 fewer sort columns)
         from ..accel.pallas_kernels import FLT_MAX
 
         isect, _, tuning = _mxu_engines(ds)

@@ -42,7 +42,8 @@ body { background:#111; color:#ddd; font:13px monospace; margin:0;
 </style></head><body>
 <img id="view" src="/stream" draggable="false">
 <div id="stats"></div>
-<div id="help">drag: orbit &middot; wheel: dolly &middot; wasdqe: move
+<div id="help">left-drag: orbit &middot; middle-drag: pan &middot;
+right-drag: zoom &middot; wheel: dolly &middot; wasdqe: move
 &middot; hjkl: yaw/pitch &middot; t/n/m/g/v: tracer/denoiser/tonemap/gview/aov
 &middot; [/]: luminance sigma &middot; r: reset &middot; p: save png</div>
 <script>
@@ -52,13 +53,15 @@ addEventListener('keydown', e => {
   if ('wsadqehjkltnmgvrp[]'.includes(e.key)) send('/key', {key:e.key});
 });
 const view = document.getElementById('view');
+view.addEventListener('contextmenu', e => e.preventDefault());
 let drag = null;
-view.addEventListener('pointerdown', e => { drag = [e.clientX, e.clientY];
+view.addEventListener('pointerdown', e => {
+  drag = [e.clientX, e.clientY, e.button];
   view.setPointerCapture(e.pointerId); });
 view.addEventListener('pointermove', e => {
   if (!drag) return;
-  const [x0, y0] = drag; drag = [e.clientX, e.clientY];
-  send('/drag', {dx: e.clientX - x0, dy: e.clientY - y0});
+  const [x0, y0, btn] = drag; drag = [e.clientX, e.clientY, btn];
+  send('/drag', {dx: e.clientX - x0, dy: e.clientY - y0, button: btn});
 });
 view.addEventListener('pointerup', () => drag = null);
 view.addEventListener('wheel', e => { e.preventDefault();
@@ -210,10 +213,19 @@ def serve(r, port: int = 8000, spp_per_frame: int = 1, quality: int = 85):
         if kind == "drag":
             if "dolly" in data:
                 move(dz=move_step * 2.0 * float(data["dolly"]))
+                return
+            dx = float(data.get("dx", 0))
+            dy = float(data.get("dy", 0))
+            button = int(data.get("button", 0))
+            if button == 1:
+                # MIDDLE drag pans (main.cpp:249 GLFW_MOUSE_BUTTON_MIDDLE)
+                move(dx=-dx * move_step * 0.05, dy=dy * move_step * 0.05)
+            elif button == 2:
+                # RIGHT drag zooms along the view axis (main.cpp:248)
+                move(dz=-dy * move_step * 0.05)
             else:
-                # preview.cpp cursorPosCallback: pixels -> degrees
-                rotate(dyaw=float(data.get("dx", 0)) * 0.25,
-                       dpitch=-float(data.get("dy", 0)) * 0.25)
+                # LEFT drag orbits; cursorPosCallback pixels -> degrees
+                rotate(dyaw=dx * 0.25, dpitch=-dy * 0.25)
             return
         key = data
         if key == "w":

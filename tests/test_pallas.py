@@ -109,7 +109,7 @@ def test_plucker_surface_recovery(scene_rays):
         axis=1,
     )
     ds = dsc.DeviceScene(tri_attr=jnp.asarray(attr))
-    pos_t, norm_t, uv_t, mid_t = dsc.surface_info_from_t(ds, p0, ray_o, ray_d, d0)
+    pos_t, norm_t, uv_t, mid_t = dsc.surface_info_from_t(ds, p0, ray_o, ray_d)
     pos_b, norm_b, uv_b, mid_b = dsc.surface_info(ds, p0, b0)
     np.testing.assert_array_equal(np.asarray(mid_t), np.asarray(mid_b))
     np.testing.assert_array_equal(
