@@ -250,28 +250,85 @@ CLUSTER_SUB = 64  # triangles per cullable sub-cluster (one SMEM mask bit)
 
 PLUCKER_BF16X3_MAX_TRIS = 2048  # auto threshold: <= this many tris -> bf16x3
 
+# Precision modes for the linear Plücker engines (static ``bf16x3`` arg):
+#   False — f32 coefficients, Mosaic HIGHEST dots (6-pass f32 emulation:
+#           the MXU streams the M=4*sub plane rows SIX times per sweep —
+#           measured to be what big-scene sweeps are bound by, round 3).
+#   True  — 2-way bf16 split, 3 product terms K-stacked into ONE single-pass
+#           bf16 dot (~2^-17 product noise; loses grazing winners above
+#           ~2k tris — small scenes only).
+#   "x6"  — 3-way bf16 split (b0+b1+b2 carries the FULL f32 mantissa), all
+#           6 O(>=2^-16) product terms K-stacked into ONE single-pass dot:
+#           f32-grade accuracy (~2.4e-7 relative, vs 1.2e-7 true f32) at
+#           1/6th the MXU streaming of HIGHEST.  The big-scene default.
+
+
+def _kdim(bf16x3) -> int:
+    # x6 pads 60 -> 64: bf16 VMEM tiles are (16, 128) sublanes, and a K dim
+    # that is not tile-aligned risks the matmul contracting padded rows
+    return {False: 10, True: 30, "x6": 64}[bf16x3]
+
+
+def _auto_prec(num_tris: int):
+    return True if num_tris <= PLUCKER_BF16X3_MAX_TRIS else "x6"
+
+
+def _bf16_round(x):
+    """Round f32 -> nearest-bf16 value, KEPT IN f32.  This must be
+    lax.reduce_precision, not an astype round trip: XLA's excess-precision
+    simplification deletes f32->bf16->f32 convert pairs under jit, which
+    silently turns every split residual into zero (found round 3 — the
+    round-2 bf16x3 path was degrading to PLAIN bf16 in jitted code)."""
+    return jax.lax.reduce_precision(x, exponent_bits=8, mantissa_bits=7)
+
+
+def _split2(x):
+    """2-way bf16 split: x == hi + lo + O(2^-17 |x|)."""
+    hi = _bf16_round(x)
+    lo = x - hi
+    return hi.astype(jnp.bfloat16), lo.astype(jnp.bfloat16)
+
+
+def _split3(x):
+    """Exact 3-way bf16 split: x == b0 + b1 + b2 + O(2^-24 |x|) (each
+    residual is exactly representable in f32 — Sterbenz)."""
+    b0 = _bf16_round(x)
+    r0 = x - b0
+    b1 = _bf16_round(r0)
+    r1 = r0 - b1
+    return (b0.astype(jnp.bfloat16), b1.astype(jnp.bfloat16),
+            r1.astype(jnp.bfloat16))
+
 
 def _stack4(coeffs, sub, bf16x3):
-    """[4, T, 10] plane coefficients -> [T//sub, 4*sub, 10|30]: all four
+    """[4, T, 10] plane coefficients -> [T//sub, 4*sub, 10|30|60]: all four
     decision planes of one sub-cluster stacked into the matmul M dimension
-    (ONE MXU op per sweep instead of four latency-bound ones) and, for
-    bf16x3, the hi/lo split stacked into K."""
+    (ONE MXU op per sweep instead of four latency-bound ones) and, for the
+    bf16 modes, the split product terms stacked into K."""
     g, t, k = coeffs.shape
     ck = coeffs.reshape(g, t // sub, sub, k)
     ck = ck.transpose(1, 0, 2, 3).reshape(t // sub, g * sub, k)
-    if not bf16x3:
+    if bf16x3 is False:
         return ck
-    hi = ck.astype(jnp.bfloat16)
-    lo = (ck - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    if bf16x3 == "x6":
+        c0, c1, c2 = _split3(ck)
+        z = jnp.zeros_like(c0[..., :4])
+        # pair order (C_i, F_j): (0,0) (0,1) (1,0) (0,2) (1,1) (2,0);
+        # zero-padded 60 -> 64 (bf16 sublane tile alignment)
+        return jnp.concatenate([c0, c0, c1, c0, c1, c2, z], axis=-1)
+    hi, lo = _split2(ck)
     return jnp.concatenate([hi, hi, lo], axis=-1)  # [T//sub, 4*sub, 3k]
 
 
 def _split_feats(feats, bf16x3):
-    """[K, N] f32 ray features -> [3K, N] bf16 rows [Fhi; Flo; Fhi]."""
-    if not bf16x3:
+    """[K, N] f32 ray features -> K-stacked split rows (see _stack4)."""
+    if bf16x3 is False:
         return feats
-    hi = feats.astype(jnp.bfloat16)
-    lo = (feats - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    if bf16x3 == "x6":
+        f0, f1, f2 = _split3(feats)
+        z = jnp.zeros_like(f0[:4])
+        return jnp.concatenate([f0, f1, f0, f2, f1, f0, z], axis=0)
+    hi, lo = _split2(feats)
     return jnp.concatenate([hi, lo, hi], axis=0)
 
 
@@ -343,14 +400,17 @@ def _plucker_kernel(
                     v = jnp.minimum(v, sd - bxd - byd)
                     v = jnp.minimum(v, sd - PLUCKER_EPS2)
                     tdd = td * det
-                    # validity folded into ONE min: u > 0 ⟺ v > 0 & tdd > 0
-                    # (v == 0 exact-edge hits are rejected, matching the
-                    # quad kernel's mmin > 0 — measure-zero for real rays)
+                    # validity folded into ONE min: u >= 0 ⟺ v >= 0 &
+                    # tdd >= 0 (exact-edge hits ACCEPTED like the brute
+                    # oracle's inclusive tests — exclusive tests punched
+                    # pixel holes along shared edges for pixel-center rays
+                    # on axis-aligned walls; degenerate/padding rows stay
+                    # rejected by the strictly negative eps plane)
                     u = jnp.minimum(v, tdd)
                     # t = td/det = tdd/sd via rsqrt (div is the single most
                     # expensive epilogue op); sd=0 lanes are invalid-masked
                     rs = jax.lax.rsqrt(sd)
-                    tval = jnp.where(u > 0.0, tdd * rs * rs, FLT_MAX)
+                    tval = jnp.where(u >= 0.0, tdd * rs * rs, FLT_MAX)
                     key = (
                         jax.lax.bitcast_convert_type(tval, jnp.int32) & ~63
                     ) | iota6
@@ -451,7 +511,7 @@ def _plucker_occl_kernel(
                     # the quad kernel)
                     w = jnp.minimum(jnp.minimum(v, tdd), tm * sd - tdd)
                     wmax = jnp.max(w, axis=0, keepdims=True)
-                    occ_s[row, :] = occ_s[row, :] | (wmax > 0.0).astype(
+                    occ_s[row, :] = occ_s[row, :] | (wmax >= 0.0).astype(
                         jnp.int32
                     )
 
@@ -602,7 +662,7 @@ def intersect_plucker_pallas(
         return jnp.concatenate(prims), jnp.concatenate(dists)
     num_tris = tri_packed.shape[0]
     if bf16x3 is None:
-        bf16x3 = num_tris <= PLUCKER_BF16X3_MAX_TRIS
+        bf16x3 = _auto_prec(num_tris)
     n_pad = -(-n // RAY_BLOCK) * RAY_BLOCK
     sub, tri_chunk, t_pad = _chunking(num_tris)
     n_blocks = n_pad // RAY_BLOCK
@@ -610,7 +670,7 @@ def intersect_plucker_pallas(
     subs_per_chunk = tri_chunk // sub
 
     pre = _take_pre_coeffs(coeffs_pre, center_pre, sub, t_pad,
-                           30 if bf16x3 else 10, tri_order=tri_order)
+                           _kdim(bf16x3), tri_order=tri_order)
     if pre is not None:
         coeffs, center = pre
     else:
@@ -653,7 +713,7 @@ def intersect_plucker_pallas(
         (1,) + mask.shape[1:], lambda c, i: (i, 0, 0),
         memory_space=pltpu.SMEM,
     )
-    kdim = 30 if bf16x3 else 10
+    kdim = _kdim(bf16x3)
     c_spec = pl.BlockSpec(
         (tri_chunk // sub, 4 * sub, kdim), lambda c, i: (c, 0, 0),
         memory_space=pltpu.VMEM
@@ -727,7 +787,7 @@ def occlusion_plucker_pallas(tri_packed, x, y,
     n = ray_o.shape[0]
     num_tris = tri_packed.shape[0]
     if bf16x3 is None:
-        bf16x3 = num_tris <= PLUCKER_BF16X3_MAX_TRIS
+        bf16x3 = _auto_prec(num_tris)
     n_pad = -(-n // RAY_BLOCK) * RAY_BLOCK
     sub, tri_chunk, t_pad = _chunking(num_tris)
     n_blocks = n_pad // RAY_BLOCK
@@ -735,7 +795,7 @@ def occlusion_plucker_pallas(tri_packed, x, y,
     subs_per_chunk = tri_chunk // sub
 
     pre = _take_pre_coeffs(coeffs_pre, center_pre, sub, t_pad,
-                           30 if bf16x3 else 10, tri_order=tri_order)
+                           _kdim(bf16x3), tri_order=tri_order)
     if pre is not None:
         coeffs, center = pre
     else:
@@ -779,7 +839,7 @@ def occlusion_plucker_pallas(tri_packed, x, y,
         (1,) + mask.shape[1:], lambda c, i: (i, 0, 0),
         memory_space=pltpu.SMEM,
     )
-    kdim = 30 if bf16x3 else 10
+    kdim = _kdim(bf16x3)
     c_spec = pl.BlockSpec(
         (tri_chunk // sub, 4 * sub, kdim), lambda c, i: (c, 0, 0),
         memory_space=pltpu.VMEM
@@ -1090,12 +1150,10 @@ def _sphere_flags(unit_bounds, center, o, d, tm, rowblks, lanes,
     # 2*rl per unit for the tn epilogue (cv - 2*rl = t* - rl); the C plane's
     # constant term IS rl for valid units (see _sphere_plane_coeffs)
     rl2 = 2.0 * jnp.maximum(planes[1, 15:16, :], 0.0)  # [1, C_pad] f32
-    p_hi = planes.astype(jnp.bfloat16)
-    p_lo = (planes - p_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    p_hi, p_lo = _split2(planes)
     planes = jnp.concatenate([p_hi, p_hi, p_lo], axis=1)  # [3, 48, C_pad]
     feats = _sphere_feats(o, d, tm)  # [rowblks*lanes, 16]
-    f_hi = feats.astype(jnp.bfloat16)
-    f_lo = (feats - f_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    f_hi, f_lo = _split2(feats)
     feats = jnp.concatenate([f_hi, f_lo, f_hi], axis=1)  # [N, 48]
     rb_pad = -(-rowblks // 8) * 8
     if rb_pad != rowblks:  # zero-feature pad rows flag; sliced off below
@@ -1243,7 +1301,7 @@ def _plucker_compact_kernel(
                     # u > 0 ⟺ valid (see the scan kernel's epilogue note)
                     u = jnp.minimum(v, tdd)
                     rs = jax.lax.rsqrt(sd)  # t = tdd/sd without the divide
-                    tval = jnp.where(u > 0.0, tdd * rs * rs, FLT_MAX)
+                    tval = jnp.where(u >= 0.0, tdd * rs * rs, FLT_MAX)
 
                     # packed-key argmin: sublane id in the low 6 mantissa
                     # bits, one integer min-reduce (see the scan kernel)
@@ -1326,7 +1384,7 @@ def _plucker_compact_occl_kernel(
                         jnp.minimum(v, tdd), tm_refs[k][...] * sd - tdd
                     )
                     wmax = jnp.max(w2, axis=0, keepdims=True)
-                    any_hit = (wmax > 0.0).astype(jnp.int32)
+                    any_hit = (wmax >= 0.0).astype(jnp.int32)
                     for j in range(group):
                         col = slice(j * 128, (j + 1) * 128)
                         row = pl.ds((p >> unit_bits) * group + j, 1)
@@ -1425,7 +1483,7 @@ def _compact_prepass(
     n = ray_o.shape[0]
     num_tris = tri_packed.shape[0]
     if bf16x3 is None:
-        bf16x3 = num_tris <= PLUCKER_BF16X3_MAX_TRIS
+        bf16x3 = _auto_prec(num_tris)
     C_fine = cluster_bounds.shape[0]
     # the work unit stays ONE fine 64-tri cluster until _SPHERE_UNIT_MAX
     # fine clusters (~262k tris); only beyond that do g clusters merge
@@ -1450,7 +1508,7 @@ def _compact_prepass(
     rows = n_pad // 128
 
     pre = _take_pre_coeffs(coeffs_pre, center_pre, CLUSTER_SUB, t_pad,
-                           30 if bf16x3 else 10, tri_order=tri_order)
+                           _kdim(bf16x3), tri_order=tri_order)
     if pre is not None:
         coeffs, center = pre
     else:
@@ -1501,7 +1559,7 @@ def _compact_prepass(
     return {
         "tri_packed": tri_packed, "bf16x3": bf16x3, "g": g,
         "unit_bits": unit_bits,
-        "rows": rows, "n_pad": n_pad, "kdim": 30 if bf16x3 else 10,
+        "rows": rows, "n_pad": n_pad, "kdim": _kdim(bf16x3),
         "coeffs": coeffs, "feats": feats,
         "packed": packed, "count": count, "w_max": w_max, "tn_q": tn_q,
     }
@@ -1753,18 +1811,34 @@ _KEY_MISS = 0x7F7FFFC0  # bitcast(FLT_MAX) & ~63: "no hit in this cluster"
 # [G*sub, 28] @ [28, 128] HIGHEST op per cluster).
 
 
-def _stack_coeffs(coeffs, sub: int):
-    """[G, T, 28] f32 -> [T//sub, G*sub, 28]: all G decision planes of one
-    cluster stacked into the matmul M dimension."""
+QUAD_K_X6 = 176  # 6 x 28 product terms + 8 zero rows (bf16 tile alignment)
+
+
+def _quad_kdim(prec: str) -> int:
+    return QUAD_K if prec == "f32" else QUAD_K_X6
+
+
+def _stack_coeffs(coeffs, sub: int, prec: str = "f32"):
+    """[G, T, 28] f32 -> [T//sub, G*sub, 28|176]: all G decision planes of
+    one cluster stacked into the matmul M dimension; for prec="x6" the
+    3-way bf16 split's 6 product terms stack into K (see _stack4)."""
     g, t, k = coeffs.shape
     ck = coeffs.reshape(g, t // sub, sub, k)
-    return ck.transpose(1, 0, 2, 3).reshape(t // sub, g * sub, k)
+    ck = ck.transpose(1, 0, 2, 3).reshape(t // sub, g * sub, k)
+    if prec == "f32":
+        return ck
+    c0, c1, c2 = _split3(ck)
+    z = jnp.zeros_like(c0[..., :8])
+    return jnp.concatenate([c0, c0, c1, c0, c1, c2, z], axis=-1)
 
 
-def _stack_feats(feats):
-    """[N, 28] f32 features (identity hook: kept so the feature layout and
-    the coeff stacking stay in one place)."""
-    return feats
+def _stack_feats(feats, prec: str = "f32"):
+    """[N, 28] f32 features -> transposed (and K-split for x6) matrix."""
+    if prec == "f32":
+        return feats.T
+    f0, f1, f2 = _split3(feats.T)
+    z = jnp.zeros_like(f0[:8])
+    return jnp.concatenate([f0, f1, f0, f2, f1, f0, z], axis=0)
 
 
 def _quad_features(ray_o, ray_d, center):
@@ -1844,6 +1918,7 @@ def _quad_kernel(
     prim_ref, dist_ref,  # outputs [RAY_BLOCK//128, 128]
     prim_s, dist_s,  # VMEM scratch [n_pad//128, 128], persists across grid
     *, tri_chunk: int, n_chunks: int, sub: int, use_mask: bool,
+    prec: str = "f32",
 ):
     c = pl.program_id(0)
     i = pl.program_id(1)
@@ -1859,7 +1934,7 @@ def _quad_kernel(
 
     dot = lambda a, b: jax.lax.dot_general(  # noqa: E731
         a, b, (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=jax.lax.Precision.HIGHEST if prec == "f32" else None,
         preferred_element_type=jnp.float32,
     )
     iota6 = jax.lax.broadcasted_iota(jnp.int32, (sub, 128), 0)
@@ -1868,8 +1943,8 @@ def _quad_kernel(
         for s in range(tri_chunk // sub):
             for r in range(RAY_BLOCK // 128):
                 def _sweep(s=s, r=r):
-                    f = f_ref[:, r * 128:(r + 1) * 128]  # [28, 128]
-                    q = dot(c_ref[s], f)  # ONE [5*sub,28]@[28,128] f32 MXU op
+                    f = f_ref[:, r * 128:(r + 1) * 128]  # [kdim, 128]
+                    q = dot(c_ref[s], f)  # ONE [5*sub,kdim]@[kdim,128] MXU op
                     q1 = q[0 * sub:1 * sub, :]
                     q2 = q[1 * sub:2 * sub, :]
                     q3 = q[2 * sub:3 * sub, :]
@@ -1881,8 +1956,11 @@ def _quad_kernel(
                     )
                     mmin = jnp.minimum(mmin, q5)
                     # closest-hit rays are unit-length: |d|²==1, sd = q4+eps²
-                    t = q5 / (q4 + PLUCKER_EPS2)
-                    tval = jnp.where(mmin > 0.0, t, FLT_MAX)
+                    # (rsqrt replaces the divide — the single most expensive
+                    # epilogue op; q4+eps² == det² >= 0 for unit d)
+                    rs = jax.lax.rsqrt(q4 + PLUCKER_EPS2)
+                    t = q5 * rs * rs
+                    tval = jnp.where(mmin >= 0.0, t, FLT_MAX)
                     key = (
                         jax.lax.bitcast_convert_type(tval, jnp.int32) & ~63
                     ) | iota6
@@ -1923,6 +2001,7 @@ def _quad_occl_kernel(
     occ_ref,  # output [RAY_BLOCK//128, 128] i32 (0/1)
     occ_s,  # VMEM scratch [n_pad//128, 128] i32
     *, tri_chunk: int, n_chunks: int, sub: int, use_mask: bool,
+    prec: str = "f32",
 ):
     """Any-hit over unit-parameter SEGMENTS: rays carry d = y−x unnormalized,
     so the in-range test t∈(0,1) is two more quadratic planes (q5, q6) and
@@ -1939,7 +2018,7 @@ def _quad_occl_kernel(
 
     dot = lambda a, b: jax.lax.dot_general(  # noqa: E731
         a, b, (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=jax.lax.Precision.HIGHEST if prec == "f32" else None,
         preferred_element_type=jnp.float32,
     )
 
@@ -1964,7 +2043,7 @@ def _quad_occl_kernel(
                     # per-pair compare + int cast)
                     wmax = jnp.max(mmin, axis=0, keepdims=True)
                     row = pl.ds(base + r, 1)
-                    occ_s[row, :] = occ_s[row, :] | (wmax > 0.0).astype(
+                    occ_s[row, :] = occ_s[row, :] | (wmax >= 0.0).astype(
                         jnp.int32
                     )
 
@@ -2029,7 +2108,7 @@ def precompute_sweep_coeffs(tri_packed, tri_order=None):
     num_tris = tri_packed.shape[0]
     if tri_order is not None:
         tri_packed = tri_packed[tri_order]
-    bf16x3 = num_tris <= PLUCKER_BF16X3_MAX_TRIS
+    bf16x3 = _auto_prec(num_tris)
     sub, _, t_pad = _chunking(num_tris)
     v0 = tri_packed[:, 0:3]
     center = jax.lax.stop_gradient(0.5 * (v0.min(axis=0) + v0.max(axis=0)))
@@ -2061,11 +2140,11 @@ def _take_pre_coeffs(coeffs_pre, center_pre, sub, t_pad, kdim,
     return coeffs_pre[:rows], center_pre
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "prec"))
 def intersect_quad_pallas(
     tri_packed, ray_o, ray_d,
     tri_order=None, cluster_bounds=None, tmax=None,
-    interpret: bool = False,
+    interpret: bool = False, prec: str = "x6",
 ):
     """Closest hit via the quadratic-feature MXU kernel.
 
@@ -2085,7 +2164,7 @@ def intersect_quad_pallas(
     center = jax.lax.stop_gradient(0.5 * (v0.min(axis=0) + v0.max(axis=0)))
     coeffs = _quad_coeffs(tri_packed, center)
     coeffs = jnp.pad(coeffs, ((0, 0), (0, t_pad - num_tris), (0, 0)))
-    coeffs = _stack_coeffs(coeffs, sub)  # [t_pad//sub, 5*sub, 28] f32
+    coeffs = _stack_coeffs(coeffs, sub, prec)  # [t_pad//sub, 5*sub, kdim]
 
     prims = []
     dists = []
@@ -2097,6 +2176,7 @@ def intersect_quad_pallas(
             coeffs, center, o_i, d_i, t_i, cluster_bounds,
             num_tris=num_tris, tri_chunk=tri_chunk, n_chunks=n_chunks,
             sub=sub, subs_per_chunk=subs_per_chunk, interpret=interpret,
+            prec=prec,
         )
         prims.append(p_i)
         dists.append(q_i)
@@ -2110,7 +2190,7 @@ def intersect_quad_pallas(
 
 def _quad_launch(coeffs, center, ray_o, ray_d, tmax, cluster_bounds, *,
                  num_tris, tri_chunk, n_chunks, sub, subs_per_chunk,
-                 interpret):
+                 interpret, prec="f32"):
     n = ray_o.shape[0]
     n_pad = -(-n // RAY_BLOCK) * RAY_BLOCK
     n_blocks = n_pad // RAY_BLOCK
@@ -2127,19 +2207,20 @@ def _quad_launch(coeffs, center, ray_o, ray_d, tmax, cluster_bounds, *,
     feats = _quad_features(ray_o, ray_d, center)  # [N, 28]
     # padding rays: all-zero features -> every q == 0 -> never valid
     feats = jnp.pad(feats, ((0, n_pad - n), (0, 0)))
-    feats = _stack_feats(feats).T  # [28, N_pad] f32
+    feats = _stack_feats(feats, prec)  # [kdim, N_pad]
 
+    kdim = _quad_kdim(prec)
     grid = (n_chunks, n_blocks)
     mask_spec = pl.BlockSpec(
         (1,) + mask.shape[1:], lambda c, i: (i, 0, 0),
         memory_space=pltpu.SMEM,
     )
     c_spec = pl.BlockSpec(
-        (subs_per_chunk, 5 * sub, QUAD_K), lambda c, i: (c, 0, 0),
+        (subs_per_chunk, 5 * sub, kdim), lambda c, i: (c, 0, 0),
         memory_space=pltpu.VMEM,
     )
     f_spec = pl.BlockSpec(
-        (QUAD_K, RAY_BLOCK), lambda c, i: (0, i), memory_space=pltpu.VMEM
+        (kdim, RAY_BLOCK), lambda c, i: (0, i), memory_space=pltpu.VMEM
     )
     out_spec = pl.BlockSpec(
         (RAY_BLOCK // 128, 128), lambda c, i: (i, 0), memory_space=pltpu.VMEM
@@ -2148,7 +2229,7 @@ def _quad_launch(coeffs, center, ray_o, ray_d, tmax, cluster_bounds, *,
     prim, dist = pl.pallas_call(
         functools.partial(
             _quad_kernel, tri_chunk=tri_chunk, n_chunks=n_chunks,
-            sub=sub, use_mask=use_mask,
+            sub=sub, use_mask=use_mask, prec=prec,
         ),
         grid=grid,
         in_specs=[mask_spec, c_spec, f_spec],
@@ -2166,10 +2247,10 @@ def _quad_launch(coeffs, center, ray_o, ray_d, tmax, cluster_bounds, *,
     return prim.reshape(-1)[:n], dist.reshape(-1)[:n]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "prec"))
 def occlusion_quad_pallas(tri_packed, x, y,
                           tri_order=None, cluster_bounds=None,
-                          interpret: bool = False):
+                          interpret: bool = False, prec: str = "x6"):
     """Shadow query via the quadratic any-hit kernel over unit-parameter
     segments (epsilon-inset exactly like occlusion_brute: origin advanced
     1e-5, endpoint pulled back 1e-4 along the normalized direction)."""
@@ -2190,7 +2271,7 @@ def occlusion_quad_pallas(tri_packed, x, y,
     center = jax.lax.stop_gradient(0.5 * (v0.min(axis=0) + v0.max(axis=0)))
     coeffs = _quad_coeffs(tri_packed, center, with_q6=True)
     coeffs = jnp.pad(coeffs, ((0, 0), (0, t_pad - num_tris), (0, 0)))
-    coeffs = _stack_coeffs(coeffs, sub)  # [t_pad//sub, 6*sub, 28] f32
+    coeffs = _stack_coeffs(coeffs, sub, prec)  # [t_pad//sub, 6*sub, kdim]
 
     outs = []
     for lo in range(0, n, MAX_LANES_PER_LAUNCH):
@@ -2198,14 +2279,15 @@ def occlusion_quad_pallas(tri_packed, x, y,
             coeffs, center, ray_o[lo:lo + MAX_LANES_PER_LAUNCH],
             seg[lo:lo + MAX_LANES_PER_LAUNCH], cluster_bounds,
             tri_chunk=tri_chunk, n_chunks=n_chunks, sub=sub,
-            subs_per_chunk=subs_per_chunk, interpret=interpret,
+            subs_per_chunk=subs_per_chunk, interpret=interpret, prec=prec,
         ))
     occ = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
     return occ != 0
 
 
 def _quad_occl_launch(coeffs, center, ray_o, seg, cluster_bounds, *,
-                      tri_chunk, n_chunks, sub, subs_per_chunk, interpret):
+                      tri_chunk, n_chunks, sub, subs_per_chunk, interpret,
+                      prec="f32"):
     n = ray_o.shape[0]
     n_pad = -(-n // RAY_BLOCK) * RAY_BLOCK
     n_blocks = n_pad // RAY_BLOCK
@@ -2223,19 +2305,20 @@ def _quad_occl_launch(coeffs, center, ray_o, seg, cluster_bounds, *,
 
     feats = _quad_features(ray_o, seg, center)
     feats = jnp.pad(feats, ((0, n_pad - n), (0, 0)))
-    feats = _stack_feats(feats).T  # [28, N_pad] f32
+    feats = _stack_feats(feats, prec)  # [kdim, N_pad]
 
+    kdim = _quad_kdim(prec)
     grid = (n_chunks, n_blocks)
     mask_spec = pl.BlockSpec(
         (1,) + mask.shape[1:], lambda c, i: (i, 0, 0),
         memory_space=pltpu.SMEM,
     )
     c_spec = pl.BlockSpec(
-        (subs_per_chunk, 6 * sub, QUAD_K), lambda c, i: (c, 0, 0),
+        (subs_per_chunk, 6 * sub, kdim), lambda c, i: (c, 0, 0),
         memory_space=pltpu.VMEM,
     )
     f_spec = pl.BlockSpec(
-        (QUAD_K, RAY_BLOCK), lambda c, i: (0, i), memory_space=pltpu.VMEM
+        (kdim, RAY_BLOCK), lambda c, i: (0, i), memory_space=pltpu.VMEM
     )
     out_spec = pl.BlockSpec(
         (RAY_BLOCK // 128, 128), lambda c, i: (i, 0), memory_space=pltpu.VMEM
@@ -2244,7 +2327,7 @@ def _quad_occl_launch(coeffs, center, ray_o, seg, cluster_bounds, *,
     occ = pl.pallas_call(
         functools.partial(
             _quad_occl_kernel, tri_chunk=tri_chunk, n_chunks=n_chunks,
-            sub=sub, use_mask=use_mask,
+            sub=sub, use_mask=use_mask, prec=prec,
         ),
         grid=grid,
         in_specs=[mask_spec, c_spec, f_spec],
@@ -2254,6 +2337,586 @@ def _quad_occl_launch(coeffs, center, ray_o, seg, cluster_bounds, *,
         interpret=interpret,
     )(mask, coeffs, feats)[0]
     return occ.reshape(-1)[:n]
+
+# ---------------------------------------------------------------------------
+# Banded pass-resident intersector (round 3)
+# ---------------------------------------------------------------------------
+#
+# The scan kernels above cull at (128-lane row) x (64-tri cluster)
+# granularity, and at big-scene bounces the ROW UNION is tail-driven: per-ray
+# fine-cluster flags are p50=1 while the 128-lane union is ~84-97
+# (BASELINE.md round-2 extended session; tools/band_stats.py).  Splitting
+# each row into G BANDS of 128/G lanes and sweeping ONE cluster PER BAND per
+# MXU op drops the per-row sweep count from |union(128 lanes)| to
+# max_b |union(band b)| — measured 97 -> 41 (G=8) / 31 (G=16) on
+# teapot_hires bounce-1 wavefronts with the count-segregating sort.
+#
+# Critically, the win only materializes if each band walks its own GLOBAL
+# cluster list: restricting a sweep's G clusters to a small shared window
+# (e.g. one 16-cluster chunk) re-fragments the schedule and erases the gain
+# (measured: window 8 -> j 82 vs unbounded 31, /tmp probe round 3).  So this
+# engine splits the scene into P PASSES sized to VMEM (~6 MB of transposed
+# coefficients each, single-buffered via an explicit DMA) and, within a
+# pass, every band advances through its own bitmask independently:
+#
+# * coefficients live as [Cp, 16, 256] per pass: cluster c's block is the
+#   TRANSPOSED plane matrix (K on sublanes, padded 10->16 so in-kernel
+#   concatenation writes at 16-aligned sublane offsets), M = 4 planes x 64
+#   triangles on lanes;
+# * per work item the kernel concatenates the G scheduled clusters'
+#   [16, 256] blocks into a [G*16, 256] scratch (dynamic first-dim reads,
+#   static aligned destinations — a few vector ops per band, NOT the
+#   ~32-op lane-relayout a [256, K]-major concat would cost);
+# * the feature matrix is BAND-STATIC: F_big[16*b + k, lane] =
+#   f[k, lane] * [lane in band b], built once per (row, pass) — the
+#   schedule never touches it;
+# * one dot_general contracting the leading dim
+#   ([G*16, 256]^T . [G*16, 128] -> [256, 128]) evaluates every lane
+#   against exactly its band's scheduled cluster; the epilogue is the
+#   standard packed-key argmin with a PER-LANE id base (S*64).
+#
+# Schedules are extracted in-kernel from per-(row, band, pass) 16-bit-word
+# SMEM bitmasks: each band keeps (word index, current word) scalar state,
+# refills from the next nonzero word when empty, and yields its lowest set
+# bit per item (branchless 4-level ctz — Mosaic has no scalar bitcast or
+# ctz).  No XLA-side schedule arrays, sorts, or gathers are needed.
+
+BAND_TUNING = {"G": 8}  # bands per 128-lane row; trace-time (CLI --band-g)
+BAND_KPAD = 16  # per-cluster K rows (10 used, padded for aligned concat)
+# pass size: clusters per pass chosen so the single-buffered coefficient
+# block stays near this budget (VMEM is ~16 MB; hit-state scratch and the
+# wavefront feature block need the rest)
+BAND_PASS_BYTES = 6 << 20
+# scene-size threshold for auto-selecting the banded engine: below it the
+# 128-lane row union is already within ~1.5x of the per-ray floor
+# (teapot 12.4 vs 8.4) and the banded per-sweep overhead is a net loss
+BAND_MIN_TRIS = 32768
+# the hit-state scratch is 8 B/lane and the pass table is single-buffered;
+# cap lanes per launch so both fit VMEM together
+BAND_MAX_LANES = 640 * 1024
+
+
+def _band_pass_split(C: int):
+    """(P, Cp, words): passes, clusters per pass, 16-bit words per pass."""
+    per_cluster = BAND_KPAD * 4 * CLUSTER_SUB * 4  # bytes
+    cp_max = max(2, BAND_PASS_BYTES // per_cluster)
+    P = -(-C // cp_max)
+    Cp = -(-C // P)
+    Cp = -(-Cp // 16) * 16  # whole 16-bit words
+    P = -(-C // Cp)
+    return P, Cp, Cp // 16
+
+
+def _band_mask_bits(cluster_bounds, ray_o, ray_d, tmax, n_blocks,
+                    P: int, Cp: int, G: int):
+    """Visit bitmasks for the banded kernel: i32
+    [n_blocks, 8, G, P, Cp//16] (16 valid bits per word, bit k of word w =
+    local cluster w*16+k) plus the per-(row, pass) union
+    [n_blocks, 8, P] for the row guard."""
+    n_pad = n_blocks * RAY_BLOCK
+    o, d, tm = _pad_rays(ray_o, ray_d, tmax, n_pad)
+    C = cluster_bounds.shape[0]
+    inv = 1.0 / jnp.where(jnp.abs(d) > 1e-12, d, 1e-12)
+    tn = jnp.full((n_pad, C), -FLT_MAX)
+    tf = jnp.full((n_pad, C), FLT_MAX)
+    for k in range(3):
+        a = (cluster_bounds[None, :, k] - o[:, k, None]) * inv[:, k, None]
+        b = (cluster_bounds[None, :, 3 + k] - o[:, k, None]) * inv[:, k, None]
+        tn = jnp.maximum(tn, jnp.minimum(a, b))
+        tf = jnp.minimum(tf, jnp.maximum(a, b))
+    hit = (tf >= jnp.maximum(tn, 0.0)) & (tn < tm[:, None])  # [n_pad, C]
+    lanes = 128 // G
+    groups = n_pad // lanes
+    hit = hit.reshape(groups, lanes, C).any(axis=1)  # [groups, C]
+    hit = jnp.pad(hit, ((0, 0), (0, P * Cp - C)))
+    bits = hit.reshape(groups, P, Cp // 16, 16).astype(jnp.int32)
+    weights = (1 << jnp.arange(16, dtype=jnp.int32))[None, None, None]
+    packed = jnp.sum(bits * weights, axis=-1, dtype=jnp.int32)
+    # SMEM block shapes must keep the sliced PASS axis out of the last two
+    # dims (Mosaic requires those to equal the array dims or tile to (8,128))
+    packed = packed.reshape(n_blocks, RAY_BLOCK // 128, G, P, Cp // 16)
+    packed = packed.transpose(0, 3, 1, 2, 4)  # [blocks, P, 8, G, words]
+    union = (packed != 0).any(axis=(3, 4))  # [blocks, P, 8]
+    union = union.astype(jnp.int32)[:, :, None, :]  # [blocks, P, 1, 8]
+    return packed, union
+
+
+def _scalar_lsb_index(m):
+    """Index of the lowest set bit of a scalar i32 (valid bits < 16), by
+    branchless binary search on the isolated lsb (Mosaic has no scalar
+    bitcast, so the f32-exponent trick is off the table); returns -1 when
+    m == 0 (a sentinel that can never match a cluster index)."""
+    lsb = m & (0 - m)
+    i32 = jnp.int32
+    s = (
+        ((lsb & 0xAAAA) != 0).astype(i32)
+        | (((lsb & 0xCCCC) != 0).astype(i32) << 1)
+        | (((lsb & 0xF0F0) != 0).astype(i32) << 2)
+        | (((lsb & 0xFF00) != 0).astype(i32) << 3)
+    )
+    return jnp.where(m != 0, s, -1)
+
+
+def _band_sweep_loop(mask_ref, r, c_tab, cat_s, f_big, words: int, G: int,
+                     do_sweep):
+    """The per-row banded schedule walk (shared by closest-hit/any-hit).
+
+    Each band b keeps scalar state (w_b, m_b): the next mask word index and
+    the current word's remaining bits.  Per iteration every non-exhausted
+    band refills from its next nonzero word if needed, yields its lowest
+    set bit as the scheduled LOCAL cluster, the G blocks are concatenated
+    into ``cat_s`` ([G*16, 256] scratch), and ``do_sweep(q, S)`` consumes
+    the [256, 128] plane values + per-lane local cluster ids.
+    """
+    i32 = jnp.int32
+
+    def refill(state):
+        w, m = state
+
+        def _cond(s):
+            return (s[1] == 0) & (s[0] < words)
+
+        def _next(s):
+            return s[0] + 1, mask_ref[0, 0, r, _b[0], s[0]]
+
+        return jax.lax.while_loop(_cond, _next, (w, m))
+
+    # _b is threaded via a 1-element list so `refill` can read the band
+    # index without re-tracing per band (python closure over loop var)
+    _b = [0]
+
+    def outer_cond(state):
+        alive = jnp.zeros((), jnp.bool_)
+        for b in range(G):
+            w, m = state[2 * b], state[2 * b + 1]
+            alive = alive | (m != 0) | (w < words)
+        return alive
+
+    def outer_body(state):
+        new_state = []
+        s_b = []
+        for b in range(G):
+            _b[0] = b
+            w, m = refill((state[2 * b], state[2 * b + 1]))
+            s_b.append(_scalar_lsb_index(m) + (w - 1) * 16)
+            new_state += [w, m & (m - 1)]
+        # sentinel (exhausted band): clamp to cluster 0 — its lanes flagged
+        # nothing there, so the sweep returns misses (flags are a superset
+        # of hits); wasteful only, never wrong
+        s_cl = [jnp.maximum(s, 0) for s in s_b]
+        for b in range(G):
+            cat_s[16 * b:16 * (b + 1), :] = c_tab[s_cl[b]]
+        liota_b = jax.lax.broadcasted_iota(i32, (1, 128), 1) // (128 // G)
+        S = jnp.broadcast_to(s_cl[G - 1], liota_b.shape)
+        for b in range(G - 1):
+            S = jnp.where(liota_b == b, s_cl[b], S)
+        q = jax.lax.dot_general(
+            cat_s[...], f_big,
+            (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # [4*F, 128]
+        do_sweep(q, S)
+        return tuple(new_state)
+
+    # interleave: state[2b] = w_b, state[2b+1] = m_b
+    state0 = tuple(jnp.zeros((), i32) for _ in range(2 * G))
+    jax.lax.while_loop(outer_cond, outer_body, state0)
+
+
+def _band_kernel(
+    mask_ref,  # SMEM i32 [1, 1, 8, G, words]  (this pass's words)
+    union_ref,  # SMEM i32 [1, 1, 1, 8]
+    c_ref,  # ANY f32 [1, Cp, 16, 256]: this pass's transposed coeff table
+    f_ref,  # VMEM f32 [10, RAY_BLOCK] ray features
+    prim_ref, dist_ref,  # outputs [RAY_BLOCK//128, 128]
+    tab_s,  # VMEM scratch [Cp, 16, 256]: pass-resident coefficient table
+    cat_s,  # VMEM scratch [G*16, 256]: concatenated scheduled clusters
+    prim_s, dist_s,  # VMEM scratch [n_pad//128, 128], persists across grid
+    sem,  # DMA semaphore
+    *, P: int, Cp: int, words: int, G: int,
+):
+    p = pl.program_id(0)
+    i = pl.program_id(1)
+    base = i * (RAY_BLOCK // 128)
+    F = CLUSTER_SUB
+
+    @pl.when(p == 0)
+    def _init():
+        blk = pl.ds(base, RAY_BLOCK // 128)
+        prim_s[blk, :] = jnp.full(
+            (RAY_BLOCK // 128, 128), NULL_PRIMITIVE, jnp.int32
+        )
+        dist_s[blk, :] = jnp.full((RAY_BLOCK // 128, 128), FLT_MAX, jnp.float32)
+
+    @pl.when(i == 0)
+    def _load_pass():
+        # single-buffered pass table: the default pipeline would double-
+        # buffer a multi-MB block and blow VMEM, so DMA it explicitly once
+        # per pass (the grid is sequential; blocks within a pass reuse it)
+        cp = pltpu.make_async_copy(c_ref.at[p], tab_s, sem)
+        cp.start()
+        cp.wait()
+
+    iota6 = jax.lax.broadcasted_iota(jnp.int32, (F, 128), 0)
+    kiota = jax.lax.broadcasted_iota(jnp.int32, (G * 16, 128), 0)
+    liota = jax.lax.broadcasted_iota(jnp.int32, (G * 16, 128), 1)
+    band_match = (kiota // 16) == (liota // (128 // G))
+
+    for r in range(RAY_BLOCK // 128):
+        def _row(r=r):
+            f = f_ref[:, r * 128:(r + 1) * 128]  # [10, 128]
+            fpad = jnp.concatenate(
+                [f, jnp.zeros((6, 128), jnp.float32)], axis=0
+            )  # [16, 128]
+            f_rep = jnp.concatenate([fpad] * G, axis=0)  # [G*16, 128]
+            f_big = jnp.where(band_match, f_rep, 0.0)
+            row = pl.ds(base + r, 1)
+
+            def do_sweep(q, S):
+                det = q[0 * F:1 * F, :]
+                bx = q[1 * F:2 * F, :]
+                by = q[2 * F:3 * F, :]
+                td = q[3 * F:4 * F, :]
+                sd = det * det
+                bxd = bx * det
+                byd = by * det
+                v = jnp.minimum(bxd, byd)
+                v = jnp.minimum(v, sd - bxd - byd)
+                v = jnp.minimum(v, sd - PLUCKER_EPS2)
+                tdd = td * det
+                u = jnp.minimum(v, tdd)
+                rs = jax.lax.rsqrt(sd)
+                tval = jnp.where(u >= 0.0, tdd * rs * rs, FLT_MAX)
+                key = (
+                    jax.lax.bitcast_convert_type(tval, jnp.int32) & ~63
+                ) | iota6
+                kmin = jnp.min(key, axis=0, keepdims=True)  # [1, 128]
+                tmin = jax.lax.bitcast_convert_type(kmin & ~63, jnp.float32)
+                # id base is PER LANE: (pass base + local cluster) * 64
+                id_base = (p * Cp + S) * F
+                upd = (kmin < _KEY_MISS) & (tmin < dist_s[row, :])
+                dist_s[row, :] = jnp.where(upd, tmin, dist_s[row, :])
+                prim_s[row, :] = jnp.where(
+                    upd, (kmin & 63) + id_base, prim_s[row, :]
+                )
+
+            _band_sweep_loop(mask_ref, r, tab_s, cat_s, f_big, words, G,
+                             do_sweep)
+
+        pl.when(union_ref[0, 0, 0, r] != 0)(_row)
+
+    @pl.when(p == P - 1)
+    def _flush():
+        blk = pl.ds(base, RAY_BLOCK // 128)
+        prim_ref[:] = prim_s[blk, :]
+        dist_ref[:] = dist_s[blk, :]
+
+
+def _band_occl_kernel(
+    mask_ref,  # SMEM i32 [1, 1, 8, G, words]
+    union_ref,  # SMEM i32 [1, 1, 1, 8]
+    c_ref,  # ANY f32 [1, Cp, 16, 256]
+    f_ref,  # VMEM f32 [10, RAY_BLOCK]
+    tm_ref,  # VMEM f32 [1, RAY_BLOCK] segment tmax
+    occ_ref,  # output [RAY_BLOCK//128, 128] i32
+    tab_s, cat_s,  # VMEM scratch (see _band_kernel)
+    occ_s,  # VMEM scratch [n_pad//128, 128] i32
+    sem,
+    *, P: int, Cp: int, words: int, G: int,
+):
+    """Any-hit twin of :func:`_band_kernel`."""
+    p = pl.program_id(0)
+    i = pl.program_id(1)
+    base = i * (RAY_BLOCK // 128)
+    F = CLUSTER_SUB
+
+    @pl.when(p == 0)
+    def _init():
+        occ_s[pl.ds(base, RAY_BLOCK // 128), :] = jnp.zeros(
+            (RAY_BLOCK // 128, 128), jnp.int32
+        )
+
+    @pl.when(i == 0)
+    def _load_pass():
+        cp = pltpu.make_async_copy(c_ref.at[p], tab_s, sem)
+        cp.start()
+        cp.wait()
+
+    kiota = jax.lax.broadcasted_iota(jnp.int32, (G * 16, 128), 0)
+    liota = jax.lax.broadcasted_iota(jnp.int32, (G * 16, 128), 1)
+    band_match = (kiota // 16) == (liota // (128 // G))
+
+    for r in range(RAY_BLOCK // 128):
+        def _row(r=r):
+            f = f_ref[:, r * 128:(r + 1) * 128]
+            fpad = jnp.concatenate(
+                [f, jnp.zeros((6, 128), jnp.float32)], axis=0
+            )
+            f_rep = jnp.concatenate([fpad] * G, axis=0)
+            f_big = jnp.where(band_match, f_rep, 0.0)
+            tm = tm_ref[:, r * 128:(r + 1) * 128]  # [1, 128]
+            row = pl.ds(base + r, 1)
+
+            def do_sweep(q, S):
+                det = q[0 * F:1 * F, :]
+                bx = q[1 * F:2 * F, :]
+                by = q[2 * F:3 * F, :]
+                td = q[3 * F:4 * F, :]
+                sd = det * det
+                bxd = bx * det
+                byd = by * det
+                v = jnp.minimum(bxd, byd)
+                v = jnp.minimum(v, sd - bxd - byd)
+                v = jnp.minimum(v, sd - PLUCKER_EPS2)
+                tdd = td * det
+                w = jnp.minimum(jnp.minimum(v, tdd), tm * sd - tdd)
+                wmax = jnp.max(w, axis=0, keepdims=True)
+                occ_s[row, :] = occ_s[row, :] | (wmax >= 0.0).astype(jnp.int32)
+
+            _band_sweep_loop(mask_ref, r, tab_s, cat_s, f_big, words, G,
+                             do_sweep)
+
+        pl.when(union_ref[0, 0, 0, r] != 0)(_row)
+
+    @pl.when(p == P - 1)
+    def _flush():
+        occ_ref[:] = occ_s[pl.ds(base, RAY_BLOCK // 128), :]
+
+
+def precompute_band_coeffs(tri_packed, tri_order=None):
+    """Build-time transposed coefficient table for the banded kernel:
+    f32 [C, 16, 256] — cluster c's block holds K (10 used of 16) on
+    sublanes and M = 4 planes x 64 triangles on lanes, so the in-kernel
+    concatenation of G scheduled clusters writes [16, 256] slices at
+    16-aligned sublane offsets.  Returns (table, center)."""
+    num_tris = tri_packed.shape[0]
+    if tri_order is not None:
+        tri_packed = tri_packed[tri_order]
+    C = -(-num_tris // CLUSTER_SUB)
+    t_pad = C * CLUSTER_SUB
+    v0 = tri_packed[:, 0:3]
+    center = jax.lax.stop_gradient(0.5 * (v0.min(axis=0) + v0.max(axis=0)))
+    coeffs = _plucker_coeffs(
+        tri_packed, center, jnp.arange(num_tris, dtype=jnp.int32)
+    )[0:4]  # [4, T, 10]
+    coeffs = jnp.pad(
+        coeffs, ((0, 0), (0, t_pad - num_tris), (0, BAND_KPAD - 10))
+    )  # [4, t_pad, 16]
+    coeffs = coeffs.reshape(4, C, CLUSTER_SUB, BAND_KPAD)
+    coeffs = coeffs.transpose(1, 3, 0, 2)  # [C, K, plane, tri]
+    return coeffs.reshape(C, BAND_KPAD, 4 * CLUSTER_SUB), center
+
+
+def _band_take_pre(coeffs_pre, center_pre, C):
+    if coeffs_pre is None or center_pre is None:
+        return None
+    if (
+        coeffs_pre.ndim != 3
+        or coeffs_pre.shape[0] != C
+        or coeffs_pre.shape[1] != BAND_KPAD
+        or coeffs_pre.shape[2] != 4 * CLUSTER_SUB
+    ):
+        return None
+    return coeffs_pre, center_pre
+
+
+def _band_prepass(tri_packed, ray_o, ray_d, tri_order, cluster_bounds, tmax,
+                  G, feat_pad_value, coeffs_pre=None, center_pre=None):
+    """Shared setup for the banded entry points."""
+    n = ray_o.shape[0]
+    num_tris = tri_packed.shape[0]
+    C = -(-num_tris // CLUSTER_SUB)
+    assert cluster_bounds.shape[0] == C, "cluster_bounds must be per 64 tris"
+    P, Cp, words = _band_pass_split(C)
+    n_pad = -(-n // RAY_BLOCK) * RAY_BLOCK
+    n_blocks = n_pad // RAY_BLOCK
+
+    pre = _band_take_pre(coeffs_pre, center_pre, C)
+    if pre is not None and tri_order is None:
+        table, center = pre
+    else:
+        table, center = precompute_band_coeffs(tri_packed, tri_order)
+    # split into P equal passes (zero-coefficient padding clusters never
+    # flag and never hit: det == 0)
+    table = jnp.pad(table, ((0, P * Cp - C), (0, 0), (0, 0)))
+    table = table.reshape(P, Cp, BAND_KPAD, 4 * CLUSTER_SUB)
+
+    mask, union = _band_mask_bits(
+        cluster_bounds, ray_o, ray_d, tmax, n_blocks, P, Cp, G
+    )
+
+    o = ray_o - center
+    m = jnp.cross(o, ray_d)
+    feats = jnp.concatenate(
+        [ray_d, m, o, jnp.ones_like(o[:, :1])], axis=1
+    )  # [N, 10]
+    feats = jnp.pad(feats, ((0, n_pad - n), (0, 0)),
+                    constant_values=feat_pad_value)
+    return {
+        "P": P, "Cp": Cp, "words": words, "n_pad": n_pad,
+        "n_blocks": n_blocks, "table": table, "center": center,
+        "mask": mask, "union": union, "feats": feats.T,
+    }
+
+
+def _band_specs(P, Cp, words, G, n_pad, with_tm=False):
+    mask_spec = pl.BlockSpec(
+        (1, 1, RAY_BLOCK // 128, G, words), lambda p, i: (i, p, 0, 0, 0),
+        memory_space=pltpu.SMEM,
+    )
+    union_spec = pl.BlockSpec(
+        (1, 1, 1, RAY_BLOCK // 128), lambda p, i: (i, p, 0, 0),
+        memory_space=pltpu.SMEM,
+    )
+    c_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    f_spec = pl.BlockSpec(
+        (10, RAY_BLOCK), lambda p, i: (0, i), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (RAY_BLOCK // 128, 128), lambda p, i: (i, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = [mask_spec, union_spec, c_spec, f_spec]
+    if with_tm:
+        in_specs.append(pl.BlockSpec(
+            (1, RAY_BLOCK), lambda p, i: (0, i), memory_space=pltpu.VMEM
+        ))
+    scratch = [
+        pltpu.VMEM((Cp, BAND_KPAD, 4 * CLUSTER_SUB), jnp.float32),
+        pltpu.VMEM((G * 16, 4 * CLUSTER_SUB), jnp.float32),
+    ]
+    row_shape = (n_pad // 128, 128)
+    return in_specs, out_spec, scratch, row_shape
+
+
+# NOTE on the mask walk inside _band_sweep_loop: the SMEM mask ref passed
+# to the kernels is the per-(pass, block) slice [1, 8, G, 1, words]; the
+# refill indexes it as [0, r, b, w] after squeezing the pass axis — the
+# kernels re-view the ref accordingly.
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "G"))
+def intersect_plucker_band(
+    tri_packed, ray_o, ray_d,
+    tri_order=None, cluster_bounds=None, tmax=None,
+    coeffs_pre=None, center_pre=None,
+    interpret: bool = False, G: int = 8,
+):
+    """Closest hit via the banded pass-resident MXU sweep (see the block
+    comment above).  Semantics match :func:`intersect_plucker_pallas`:
+    positional winner ids (remapped through ``tri_order`` if given),
+    selector-grade dist, ``tmax = -inf`` lanes are dead.
+    ``cluster_bounds`` is REQUIRED and must be the uniform 64-tri grid
+    (one AABB per 64 consecutive slots)."""
+    assert cluster_bounds is not None, "banded path requires cluster bounds"
+    n = ray_o.shape[0]
+    if n > BAND_MAX_LANES:
+        prims, dists = [], []
+        for lo in range(0, n, BAND_MAX_LANES):
+            hi = lo + BAND_MAX_LANES
+            p, t = intersect_plucker_band(
+                tri_packed, ray_o[lo:hi], ray_d[lo:hi],
+                tri_order=tri_order, cluster_bounds=cluster_bounds,
+                tmax=None if tmax is None else tmax[lo:hi],
+                coeffs_pre=coeffs_pre, center_pre=center_pre,
+                interpret=interpret, G=G,
+            )
+            prims.append(p)
+            dists.append(t)
+        return jnp.concatenate(prims), jnp.concatenate(dists)
+
+    pp = _band_prepass(tri_packed, ray_o, ray_d, tri_order, cluster_bounds,
+                       tmax, G, feat_pad_value=1.0,
+                       coeffs_pre=coeffs_pre, center_pre=center_pre)
+    P, Cp, words = pp["P"], pp["Cp"], pp["words"]
+    n_pad, n_blocks = pp["n_pad"], pp["n_blocks"]
+
+    in_specs, out_spec, scratch, row_shape = _band_specs(
+        P, Cp, words, G, n_pad
+    )
+    prim, dist = pl.pallas_call(
+        functools.partial(_band_kernel, P=P, Cp=Cp, words=words, G=G),
+        grid=(P, n_blocks),
+        in_specs=in_specs,
+        out_specs=[out_spec, out_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct(row_shape, jnp.int32),
+            jax.ShapeDtypeStruct(row_shape, jnp.float32),
+        ],
+        scratch_shapes=scratch + [
+            pltpu.VMEM(row_shape, jnp.int32),
+            pltpu.VMEM(row_shape, jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(pp["mask"], pp["union"], pp["table"], pp["feats"])
+
+    prim = prim.reshape(-1)[:n]
+    dist = dist.reshape(-1)[:n]
+    prim = jnp.where(
+        (dist < FLT_MAX) & (prim < tri_packed.shape[0]), prim, NULL_PRIMITIVE
+    )
+    if tri_order is not None:
+        prim = jnp.where(
+            prim >= 0, tri_order[jnp.maximum(prim, 0)], NULL_PRIMITIVE
+        )
+    return prim, dist
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "G"))
+def occlusion_plucker_band(
+    tri_packed, x, y,
+    tri_order=None, cluster_bounds=None,
+    coeffs_pre=None, center_pre=None,
+    interpret: bool = False, G: int = 8,
+):
+    """Any-hit segment query via the banded sweep — twin of
+    :func:`occlusion_plucker_pallas`."""
+    assert cluster_bounds is not None, "banded path requires cluster bounds"
+    if x.shape[0] > BAND_MAX_LANES:
+        return jnp.concatenate([
+            occlusion_plucker_band(
+                tri_packed, x[lo:lo + BAND_MAX_LANES],
+                y[lo:lo + BAND_MAX_LANES],
+                tri_order=tri_order, cluster_bounds=cluster_bounds,
+                coeffs_pre=coeffs_pre, center_pre=center_pre,
+                interpret=interpret, G=G,
+            )
+            for lo in range(0, x.shape[0], BAND_MAX_LANES)
+        ])
+    eps = 1e-4
+    d = y - x
+    dist = jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=-1), 1e-24))
+    dirn = d / dist[..., None]
+    max_dist = dist - eps
+    ray_o = x + dirn * 1e-5
+    n = ray_o.shape[0]
+
+    pp = _band_prepass(tri_packed, ray_o, dirn, tri_order, cluster_bounds,
+                       max_dist, G, feat_pad_value=0.0,
+                       coeffs_pre=coeffs_pre, center_pre=center_pre)
+    P, Cp, words = pp["P"], pp["Cp"], pp["words"]
+    n_pad, n_blocks = pp["n_pad"], pp["n_blocks"]
+    tmrow = jnp.pad(max_dist, (0, n_pad - n), constant_values=-FLT_MAX)
+    tmrow = tmrow[None, :]  # [1, N_pad] f32
+
+    in_specs, out_spec, scratch, row_shape = _band_specs(
+        P, Cp, words, G, n_pad, with_tm=True
+    )
+    occ = pl.pallas_call(
+        functools.partial(_band_occl_kernel, P=P, Cp=Cp, words=words, G=G),
+        grid=(P, n_blocks),
+        in_specs=in_specs,
+        out_specs=[out_spec],
+        out_shape=[jax.ShapeDtypeStruct(row_shape, jnp.int32)],
+        scratch_shapes=scratch + [
+            pltpu.VMEM(row_shape, jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(pp["mask"], pp["union"], pp["table"], pp["feats"], tmrow)[0]
+
+    return occ.reshape(-1)[:n] != 0
 
 
 # Above this triangle count the O(N*T) dense sweep loses to the BVH walk:

@@ -84,8 +84,7 @@ def _tiled_lanes(ds, cam, pixel_idx):
     Returns (perm constant | None, untile fn | None)."""
     if (
         pixel_idx is not None
-        or ds.intersector not in ("pallas_mxu", "pallas_quad",
-                                  "pallas_compact")
+        or ds.intersector not in dsc.MXU_ENGINES
         or cam.width % TILE_W
         or cam.height % TILE_H
     ):

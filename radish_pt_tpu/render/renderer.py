@@ -253,7 +253,60 @@ class Renderer:
         )
         self.reset_accumulation()
 
-    def step(self):
+    def step_device(self):
+        """Like :meth:`step` but returns the display image as a DEVICE
+        array: the caller can overlap the host fetch + encode of frame k
+        with the device compute of frame k+1 (webviewer pipelining — the
+        tunnel's ~20 ms fetch otherwise serializes with the ~25 ms ReSTIR
+        frame and caps the stream at ~20 fps)."""
+        return self.step(return_device=True)
+
+    def step_batched_restir(self, block: int):
+        """Advance ``block`` steady-state ReSTIR frames in ONE dispatch
+        (render/renderer._restir_batch) and return the DEVICE display
+        image — the webviewer's high-throughput mode: per-frame cost
+        approaches the pure kernel time because the tunnel RTT and the
+        G-buffer render amortize over the batch."""
+        s = self.settings
+        fn = self._get(
+            (
+                "restir_batch", s.reservoir_reuse, s.reservoir_size,
+                s.temporal_clamp, s.encode_normal, block,
+            ),
+            lambda: jax.jit(
+                partial(
+                    _restir_batch,
+                    reuse=s.reservoir_reuse,
+                    reservoir_size=s.reservoir_size,
+                    clamp=s.temporal_clamp,
+                    encode_normal=s.encode_normal,
+                    block=block,
+                ),
+                donate_argnums=(7,),
+            ),
+        )
+        st = self.state
+        if s.animate_camera:
+            self._animate_camera()
+        if not s.accumulate:
+            self.reset_accumulation()
+        self.direct, self.reservoir, self.gbuf = fn(
+            self.ds, self.cam, self.last_cam, st.looper,
+            self.gbuf_last, self.reservoir,
+            jnp.asarray(self.first_frame), self.direct, st.iteration,
+        )
+        st.iteration += block
+        st.looper = (st.looper + block) % SOBOL_SAMPLE_NUM
+        self.last_cam = self.cam
+        self.gbuf_last = self.gbuf.frame
+        self.first_frame = False
+        image = self._apply_denoiser(self.direct)
+        self._last_image = image
+        return self._display_fn(s.tone_mapping)(
+            image.reshape(self.cam.height, self.cam.width, 3)
+        )
+
+    def step(self, return_device: bool = False):
         """Render one frame; returns the uint8 display image [H, W, 3]."""
         if self.mesh is not None:
             return self._step_sharded()
@@ -320,7 +373,7 @@ class Renderer:
         self.last_cam = self.cam
         self.gbuf_last = self.gbuf.frame
         self.first_frame = False
-        return np.asarray(disp)
+        return disp if return_device else np.asarray(disp)
 
     def _step_sharded(self):
         """One frame over ``self.mesh`` — G-buffer + ReSTIR (or full PT)

@@ -33,6 +33,11 @@ def _sweep_coeff_fields(intersector: str, tri_packed_np: np.ndarray) -> dict:
     scene (accel.pallas_kernels.precompute_sweep_coeffs) — the per-sweep
     coefficient prep otherwise reruns inside the bounce fori_loop (~5.5 ms
     x ~11 sweeps per depth-5 frame at 111k tris)."""
+    if intersector == "pallas_band":
+        from ..accel.pallas_kernels import precompute_band_coeffs
+
+        coeffs, center = precompute_band_coeffs(jnp.asarray(tri_packed_np))
+        return {"sweep_coeffs": coeffs, "sweep_center": center}
     if intersector not in ("pallas_mxu", "pallas_compact"):
         return {}
     from ..accel.pallas_kernels import precompute_sweep_coeffs
@@ -212,9 +217,15 @@ def build_device_scene(
 
     intersector = os.environ.get("RADISH_INTERSECTOR", "")
     if intersector not in ("pallas_mxu", "pallas_compact", "pallas_quad",
-                           "pallas_brute", "bvh", "brute"):
-        from ..accel.pallas_kernels import PALLAS_MXU_MAX_TRIS, pallas_available
+                           "pallas_band", "pallas_brute", "bvh", "brute"):
+        from ..accel.pallas_kernels import (
+            PALLAS_MXU_MAX_TRIS, pallas_available)
 
+        # NOTE: the banded engine (pallas_band) is opt-in via
+        # RADISH_INTERSECTOR: its per-band j-reduction (97 -> 41 sweeps/row
+        # at hires bounces) is offset by the G-fold K growth of its matmul
+        # once the scan engine's bf16x6 single-pass dots land (round 3) —
+        # measured 137 vs 100 ms on the hires bounce-1 sweep.
         if pallas_available() and num_tris <= PALLAS_MXU_MAX_TRIS:
             # MXU Plücker sweep: the MT arithmetic rides the MXU, leaving a
             # ~17 ops/pair VPU epilogue — ~3x the VPU dense sweep
@@ -305,8 +316,10 @@ def build_device_scene(
 
     mats = scene.materials if scene.materials else [HostMaterial()]
 
+    from .device_scene import MXU_ENGINES
+
     sort_primaries = (
-        intersector in ("pallas_mxu", "pallas_compact", "pallas_quad")
+        intersector in MXU_ENGINES
         and cluster_bounds is not None
         and os.environ.get("RADISH_SORT_PRIMARIES", "1") != "0"
     )

@@ -34,6 +34,9 @@ NULL_TEXTURE = -1
 PROCEDURAL_TEXTURE = -2
 INVALID_PDF = -1.0
 
+# the MXU sweep engine family (positional winner ids, selector-grade dist)
+MXU_ENGINES = ("pallas_mxu", "pallas_compact", "pallas_quad", "pallas_band")
+
 MAT_LAMBERTIAN = 0
 MAT_METALLIC_WORKFLOW = 1
 MAT_DIELECTRIC = 2
@@ -275,9 +278,11 @@ def _mxu_engines(ds: DeviceScene):
     Plücker scan, pallas_quad quadratic-feature scan, or pallas_compact
     work-list kernel) — one place for all call sites."""
     from ..accel.pallas_kernels import (
-        COMPACT_TUNING, intersect_plucker_compact, intersect_plucker_pallas,
-        intersect_quad_pallas, occlusion_plucker_compact,
-        occlusion_plucker_pallas, occlusion_quad_pallas)
+        BAND_TUNING, COMPACT_TUNING, intersect_plucker_band,
+        intersect_plucker_compact, intersect_plucker_pallas,
+        intersect_quad_pallas, occlusion_plucker_band,
+        occlusion_plucker_compact, occlusion_plucker_pallas,
+        occlusion_quad_pallas)
 
     pre = {}
     if ds.sweep_coeffs is not None:
@@ -286,6 +291,9 @@ def _mxu_engines(ds: DeviceScene):
     if ds.intersector == "pallas_compact":
         return (intersect_plucker_compact, occlusion_plucker_compact,
                 dict(COMPACT_TUNING) | pre)
+    if ds.intersector == "pallas_band":
+        return (intersect_plucker_band, occlusion_plucker_band,
+                dict(BAND_TUNING) | pre)
     if ds.intersector == "pallas_quad":
         # the quad engine keeps inline coeff prep (different plane layout)
         return intersect_quad_pallas, occlusion_quad_pallas, {}
@@ -302,7 +310,7 @@ def intersect(ds: DeviceScene, ray_o, ray_d, active=None) -> Interaction:
     sub-clusters and an all-dead 1024-ray block skips every sweep with a
     scalar branch.  Dead lanes return prim_id == NULL_PRIMITIVE.
     """
-    if ds.intersector in ("pallas_mxu", "pallas_compact", "pallas_quad"):
+    if ds.intersector in MXU_ENGINES:
         from ..accel.pallas_kernels import FLT_MAX
 
         isect, _, tuning = _mxu_engines(ds)
@@ -376,7 +384,7 @@ def intersect_sorted(ds: DeviceScene, ray_o, ray_d, active=None) -> Interaction:
     # (each payload column costs ~0.6 ms/sort at 640k lanes, tools/sortbench.py)
     act_s = (s[0] < _DEAD_KEY_BIT) if active is not None else None
 
-    if ds.intersector in ("pallas_mxu", "pallas_compact", "pallas_quad"):
+    if ds.intersector in MXU_ENGINES:
         # run just the (prim, dist) sweep on the sorted rays; the inverse
         # sort then carries one payload column (lane key + prim) and the
         # surface/material interpolation happens in PIXEL order (same
@@ -487,7 +495,14 @@ def _sort_key(ds: DeviceScene, ray_o, ray_d, tmax=None):
         second = jnp.where(rest.any(axis=1), jnp.argmax(rest, axis=1), n_c + 1)
         d2 = jnp.clip(second - first, 0, 15)
         cnt = jnp.clip(hit.sum(axis=1), 0, 15)
-        return ((first * 16 + d2) * 16 + cnt).astype(jnp.int32)
+        sig = ((first * 16 + d2) * 16 + cnt).astype(jnp.int32)
+        if ds.intersector == "pallas_band":
+            # COUNT-MAJOR refinement: group rays by flag count before the
+            # signature, segregating the fat tail (p99 ~45-71 flags) into
+            # its own rows so per-band max counts stay near the mean —
+            # hires bounce-1 max-band(G16) 24.9 -> 20.7 (tools/band_stats.py)
+            return (cnt.astype(jnp.int32) << 18) | sig
+        return sig
 
     lo = cb[:, 0:3].min(axis=0)
     hi = cb[:, 3:6].max(axis=0)
@@ -551,7 +566,7 @@ def test_occlusion_sorted(ds: DeviceScene, x, y, mask=None):
 
 def test_occlusion(ds: DeviceScene, x, y):
     """True where segment x->y is blocked (testOcclusion, scene.h:303-334)."""
-    if ds.intersector in ("pallas_mxu", "pallas_compact", "pallas_quad"):
+    if ds.intersector in MXU_ENGINES:
         _, occl, tuning = _mxu_engines(ds)
         return occl(
             ds.tri_packed, x, y,

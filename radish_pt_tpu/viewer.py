@@ -40,6 +40,22 @@ def main(argv=None) -> int:
     ap.add_argument("scene")
     ap.add_argument("--res", type=int, nargs=2, metavar=("W", "H"), default=None)
     ap.add_argument("--spp-per-step", type=int, default=4)
+    ap.add_argument(
+        "--spp-per-frame", type=int, default=4,
+        help="frames advanced per displayed frame in --http mode (ReSTIR "
+        "rides the batched path: one dispatch per display, amortizing the "
+        "remote-chip dispatch RTT; 1 = classic per-frame loop)",
+    )
+    ap.add_argument(
+        "--timing", action="store_true",
+        help="per-pass ms table (forces a device sync per pass: through a "
+        "tunneled chip this costs several RTTs per frame — off by default)",
+    )
+    ap.add_argument(
+        "--tracer", default=None,
+        choices=["pt", "direct", "restir", "bvh", "gbuffer"],
+        help="initial tracer mode",
+    )
     ap.add_argument("--preview", default="preview.png")
     ap.add_argument(
         "--http", type=int, default=0, metavar="PORT",
@@ -66,15 +82,24 @@ def main(argv=None) -> int:
         mesh = make_mesh(n_tile=int(parts[0]),
                          n_sample=int(parts[1]) if len(parts) > 1 else 1)
 
-    r = Renderer(scene_path=args.scene, timing=True, mesh=mesh)
+    r = Renderer(scene_path=args.scene, timing=args.timing, mesh=mesh)
     if args.res:
         r = Renderer(ds=r.ds, cam=r.cam.replace(width=args.res[0], height=args.res[1]),
-                     desc=r.desc, timing=True, mesh=mesh)
+                     desc=r.desc, timing=args.timing, mesh=mesh)
+
+    if args.tracer:
+        r.settings.tracer = {
+            "pt": Tracer.STREAMED, "direct": Tracer.DIRECT_LIGHT,
+            "restir": Tracer.RESTIR_DI, "bvh": Tracer.BVH_VISUALIZE,
+            "gbuffer": Tracer.GBUFFER_PREVIEW,
+        }[args.tracer]
+        if args.tracer == "restir":
+            r.settings.use_reservoir = True
 
     if args.http:
         from .webviewer import serve
 
-        return serve(r, port=args.http)
+        return serve(r, port=args.http, spp_per_frame=args.spp_per_frame)
 
     move_step = float(np.linalg.norm(np.asarray(r.ds.bounds_max[0] - r.ds.bounds_min[0]))) * 0.02 + 0.1
     if mesh is not None:

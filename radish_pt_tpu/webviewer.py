@@ -277,7 +277,29 @@ def serve(r, port: int = 8000, spp_per_frame: int = 1, quality: int = 85):
         elif key == "p":
             print(f"[saved {r.save()}]")
 
+    def compute_frame():
+        """Submit one display frame's device computation (non-blocking).
+        Returns (device image, frames advanced).  ReSTIR with
+        spp_per_frame > 1 rides the BATCHED path: the temporal chain
+        advances spp_per_frame frames in ONE dispatch (renderer.
+        step_batched_restir), amortizing the tunnel RTT + G-buffer."""
+        s = r.settings
+        batchable = (
+            s.tracer == Tracer.RESTIR_DI
+            and spp_per_frame > 1
+            and s.denoiser == Denoiser.NONE
+            and getattr(r, "mesh", None) is None
+        )
+        if batchable:
+            return r.step_batched_restir(spp_per_frame), spp_per_frame
+        disp = None
+        for _ in range(spp_per_frame):
+            disp = r.step(return_device=getattr(r, "mesh", None) is None)
+        return disp, spp_per_frame
+
     ema_ms = None
+    ema_disp = None
+    pending = None  # (device image, n frames, submit time) in flight
     try:
         while True:
             # drain all pending input between frames (GLFW pollEvents analogue)
@@ -287,9 +309,15 @@ def serve(r, port: int = 8000, spp_per_frame: int = 1, quality: int = 85):
             except queue.Empty:
                 pass
             t0 = time.time()
-            disp = None
-            for _ in range(spp_per_frame):
-                disp = r.step()
+            # pipeline: submit frame k+1 BEFORE fetching/encoding frame k —
+            # the tunnel's device->host fetch and the host JPEG encode then
+            # overlap the next frame's device compute
+            nxt = compute_frame()
+            if pending is None:
+                pending = nxt
+                nxt = compute_frame()
+            disp, n_frames = pending
+            disp = np.asarray(disp)
             if r.settings.preview_aov != "composed":
                 # stream the selected denoiser AOV instead of the composed
                 # frame (the reference Preview combo drives the display too)
@@ -297,17 +325,23 @@ def serve(r, port: int = 8000, spp_per_frame: int = 1, quality: int = 85):
                 if aov is not None:
                     disp = np.asarray(r._display_fn(r.settings.tone_mapping)(
                         aov.reshape(r.cam.height, r.cam.width, 3)))
-            dt = (time.time() - t0) / spp_per_frame * 1e3
+            jpeg = encode_jpeg(disp[:, ::-1], quality)
+            dt_frame = (time.time() - t0) * 1e3
+            dt = dt_frame / n_frames
             ema_ms = dt if ema_ms is None else 0.9 * ema_ms + 0.1 * dt
+            ema_disp = (dt_frame if ema_disp is None
+                        else 0.9 * ema_disp + 0.1 * dt_frame)
             s = r.settings
             stats = (
-                f"iter {r.state.iteration} | {ema_ms:.1f} ms/frame | "
+                f"iter {r.state.iteration} | {1e3 / max(ema_ms, 1e-6):.1f} fps "
+                f"({ema_ms:.1f} ms/frame, {ema_disp:.1f} ms/display) | "
                 f"tracer {tracer_names[tracers.index(s.tracer)]} | "
                 f"denoiser {denoiser_names[denoisers.index(s.denoiser)]} | "
                 f"tonemap {tonemap_names[tonemaps.index(s.tone_mapping)]} | "
                 f"{r.ds.num_triangles} tris | {r.ds.intersector}"
             )
-            shared.publish(encode_jpeg(disp[:, ::-1], quality), stats)
+            shared.publish(jpeg, stats)
+            pending = nxt
     except KeyboardInterrupt:
         print("\n[webviewer: stopped]")
     finally:

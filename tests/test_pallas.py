@@ -651,3 +651,215 @@ def test_degenerate_masked_segments_flag_nothing():
         pk._sphere_flags(cb, center, o, d, tm, 1, 128, interpret=True)
     )
     assert not flags.any()
+
+
+# ---------------------------------------------------------------------------
+# banded multi-cluster kernel (round 3)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def big_scene_rays():
+    """A multi-cluster scene (5 x 64-tri clusters) with enough rays that
+    128-lane rows span several bands with DIFFERENT flagged clusters."""
+    rng = np.random.default_rng(33)
+    centers = rng.uniform(-4, 4, size=(300, 1, 3))
+    soup = (centers + rng.normal(scale=0.4, size=(300, 3, 3))).astype(
+        np.float32
+    )
+    # spatial sort (x-major) so consecutive 64-groups make tight clusters
+    order = np.argsort(soup[:, :, 0].mean(axis=1), kind="stable")
+    soup = soup[order]
+    tri_packed = jnp.asarray(trv.pack_tris(soup))
+    n = 384
+    ray_o = rng.uniform(-7, 7, size=(n, 3)).astype(np.float32)
+    targets = soup.mean(axis=1)[rng.integers(0, 300, n)]
+    ray_d = targets - ray_o
+    ray_d /= np.linalg.norm(ray_d, axis=-1, keepdims=True)
+    return tri_packed, jnp.asarray(ray_o), jnp.asarray(ray_d.astype(np.float32))
+
+
+@pytest.mark.parametrize("G", [1, 4, 8])
+def test_band_matches_brute(big_scene_rays, G):
+    """The banded kernel is the plain Plücker sweep restricted per band to
+    the band's own flagged clusters: exact prim parity with brute force at
+    any band count (conservative culling; HIGHEST-precision planes)."""
+    from radish_pt_tpu.accel.pallas_kernels import intersect_plucker_band
+
+    tri_packed, ray_o, ray_d = big_scene_rays
+    cb = _make_cluster_bounds(tri_packed)
+    p0, d0, _ = trv.intersect_brute(tri_packed, ray_o, ray_d)
+    p1, d1 = intersect_plucker_band(
+        tri_packed, ray_o, ray_d, cluster_bounds=cb, interpret=True, G=G
+    )
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p0))
+    hits = np.asarray(p0) >= 0
+    assert hits.mean() > 0.3
+    np.testing.assert_allclose(
+        np.asarray(d1)[hits], np.asarray(d0)[hits], rtol=5e-3
+    )
+
+
+def test_band_with_order_and_dead_lanes(big_scene_rays):
+    """tri_order remap + dead lanes (tmax = -inf) through the banded path:
+    live lanes exact, dead lanes NULL-masked by the caller contract."""
+    from radish_pt_tpu.accel.pallas_kernels import (
+        FLT_MAX, intersect_plucker_band)
+
+    tri_packed, ray_o, ray_d = big_scene_rays
+    t = tri_packed.shape[0]
+    rng = np.random.default_rng(11)
+    order = jnp.asarray(rng.permutation(t).astype(np.int32))
+    tp = jnp.asarray(np.asarray(tri_packed)[np.asarray(order)])
+    cb = _make_cluster_bounds(tp)
+    n = ray_o.shape[0]
+    active = np.zeros(n, bool)
+    active[::3] = True
+    tmax = jnp.where(jnp.asarray(active), FLT_MAX, -FLT_MAX)
+    p0, _, _ = trv.intersect_brute(tri_packed, ray_o, ray_d)
+    p1, _ = intersect_plucker_band(
+        tri_packed, ray_o, ray_d, tri_order=order, cluster_bounds=cb,
+        tmax=tmax, interpret=True, G=8,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(p1)[active], np.asarray(p0)[active]
+    )
+
+
+@pytest.mark.parametrize("G", [4, 16])
+def test_band_occlusion_matches_brute(big_scene_rays, G):
+    from radish_pt_tpu.accel.pallas_kernels import occlusion_plucker_band
+
+    tri_packed, ray_o, ray_d = big_scene_rays
+    cb = _make_cluster_bounds(tri_packed)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(-5, 5, size=(256, 3)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(-5, 5, size=(256, 3)).astype(np.float32))
+    o0 = trv.occlusion_brute(tri_packed, x, y)
+    o1 = occlusion_plucker_band(
+        tri_packed, x, y, cluster_bounds=cb, interpret=True, G=G
+    )
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o0))
+
+
+def test_band_precomputed_coeffs_match(big_scene_rays):
+    """Build-time band coefficient blocks (precompute_band_coeffs) must give
+    identical results to inline prep."""
+    from radish_pt_tpu.accel.pallas_kernels import (
+        intersect_plucker_band, precompute_band_coeffs)
+
+    tri_packed, ray_o, ray_d = big_scene_rays
+    cb = _make_cluster_bounds(tri_packed)
+    coeffs, center = precompute_band_coeffs(tri_packed)
+    p0, d0 = intersect_plucker_band(
+        tri_packed, ray_o, ray_d, cluster_bounds=cb, interpret=True
+    )
+    p1, d1 = intersect_plucker_band(
+        tri_packed, ray_o, ray_d, cluster_bounds=cb,
+        coeffs_pre=coeffs, center_pre=center, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p0))
+    # eager vs jit coefficient prep round differently; dist is selector
+    # grade (64-ulp key quantization ~ 2^-17 relative)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d0), rtol=2e-5)
+
+
+def test_band_multipass_matches(monkeypatch):
+    """Force the pass split (P > 1) by shrinking the per-pass VMEM budget:
+    results must be identical to the single-pass run (hit state carries
+    across pass-resident sub-tables).  Needs > 16 clusters (a pass is a
+    whole number of 16-bit mask words), so it builds its own scene."""
+    from radish_pt_tpu.accel import pallas_kernels as pk
+
+    rng = np.random.default_rng(44)
+    centers = rng.uniform(-4, 4, size=(2100, 1, 3))
+    soup = (centers + rng.normal(scale=0.25, size=(2100, 3, 3))).astype(
+        np.float32
+    )
+    order = np.argsort(soup[:, :, 0].mean(axis=1), kind="stable")
+    soup = soup[order]
+    tri_packed = jnp.asarray(trv.pack_tris(soup))
+    n = 256
+    ray_o = rng.uniform(-7, 7, size=(n, 3)).astype(np.float32)
+    targets = soup.mean(axis=1)[rng.integers(0, 2100, n)]
+    ray_d = targets - ray_o
+    ray_d /= np.linalg.norm(ray_d, axis=-1, keepdims=True)
+    ray_o = jnp.asarray(ray_o)
+    ray_d = jnp.asarray(ray_d.astype(np.float32))
+
+    cb = _make_cluster_bounds(tri_packed)
+    p0, d0 = pk.intersect_plucker_band(
+        tri_packed, ray_o, ray_d, cluster_bounds=cb, interpret=True
+    )
+    p_ref, _, _ = trv.intersect_brute(tri_packed, ray_o, ray_d)
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p_ref))
+    assert pk._band_pass_split(cb.shape[0])[0] == 1
+    # one cluster is 16*256*4 B = 16 KB; 256 KB budget -> 16 clusters/pass
+    monkeypatch.setattr(pk, "BAND_PASS_BYTES", 256 << 10)
+    P, Cp, words = pk._band_pass_split(cb.shape[0])
+    assert P >= 3
+    p1, d1 = pk.intersect_plucker_band(
+        tri_packed, ray_o, ray_d, cluster_bounds=cb, interpret=True, G=4
+    )
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p0))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d0), rtol=2e-5)
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(-5, 5, size=(256, 3)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(-5, 5, size=(256, 3)).astype(np.float32))
+    o0 = trv.occlusion_brute(tri_packed, x, y)
+    o1 = pk.occlusion_plucker_band(
+        tri_packed, x, y, cluster_bounds=cb, interpret=True, G=4
+    )
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o0))
+
+
+def test_plucker_bf16x6_matches_brute():
+    """Above PLUCKER_BF16X3_MAX_TRIS the linear engines auto-select the
+    bf16x6 single-pass emulation (3-way split, 6 K-stacked product terms):
+    f32-grade accuracy means EXACT winner parity on random rays."""
+    from radish_pt_tpu.accel import pallas_kernels as pk
+
+    rng = np.random.default_rng(55)
+    nt = 2500
+    centers = rng.uniform(-4, 4, size=(nt, 1, 3))
+    soup = (centers + rng.normal(scale=0.3, size=(nt, 3, 3))).astype(
+        np.float32
+    )
+    order = np.argsort(soup[:, :, 0].mean(axis=1), kind="stable")
+    soup = soup[order]
+    tri_packed = jnp.asarray(trv.pack_tris(soup))
+    n = 256
+    ray_o = rng.uniform(-7, 7, size=(n, 3)).astype(np.float32)
+    targets = soup.mean(axis=1)[rng.integers(0, nt, n)]
+    ray_d = targets - ray_o
+    ray_d /= np.linalg.norm(ray_d, axis=-1, keepdims=True)
+    ray_o = jnp.asarray(ray_o)
+    ray_d = jnp.asarray(ray_d.astype(np.float32))
+    cb = _make_cluster_bounds(tri_packed)
+
+    assert pk._auto_prec(nt) == "x6"
+    p0, d0, _ = trv.intersect_brute(tri_packed, ray_o, ray_d)
+    p1, d1 = intersect_plucker_pallas(
+        tri_packed, ray_o, ray_d, cluster_bounds=cb, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p0))
+    hits = np.asarray(p0) >= 0
+    assert hits.mean() > 0.3
+    np.testing.assert_allclose(
+        np.asarray(d1)[hits], np.asarray(d0)[hits], rtol=1e-4
+    )
+
+    x = jnp.asarray(rng.uniform(-5, 5, size=(256, 3)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(-5, 5, size=(256, 3)).astype(np.float32))
+    o0 = trv.occlusion_brute(tri_packed, x, y)
+    o1 = occlusion_plucker_pallas(
+        tri_packed, x, y, cluster_bounds=cb, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o0))
+
+    # the compact work-list engine shares the precision plumbing
+    p2, _ = pk.intersect_plucker_compact(
+        tri_packed, ray_o, ray_d, cluster_bounds=cb, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(p2), np.asarray(p0))
