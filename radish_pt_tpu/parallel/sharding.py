@@ -17,6 +17,11 @@ Two orthogonal axes:
 The scene pytree is replicated; reservoir/G-buffer state shards with the
 pixels, so ReSTIR spatial reuse stays chip-local (disk radius 5 pixels <<
 tile height) — cross-tile neighbors at the seam behave like image borders.
+
+CALLERS MUST JIT these step functions (``jax.jit(partial(fn, mesh, ...))``
+— the renderer, tests and dryrun all do): an eager shard_map dispatches the
+whole render graph op-by-op across the mesh, measured ~100x slower than the
+compiled program on the CI host.
 """
 
 from __future__ import annotations

@@ -863,3 +863,54 @@ def test_plucker_bf16x6_matches_brute():
         tri_packed, ray_o, ray_d, cluster_bounds=cb, interpret=True
     )
     np.testing.assert_array_equal(np.asarray(p2), np.asarray(p0))
+
+
+@pytest.mark.slow
+def test_wavefront_launch_splitting(big_scene_rays, monkeypatch):
+    """1080p robustness: wavefronts above MAX_LANES_PER_LAUNCH /
+    COMPACT_MAX_LANES / BAND_MAX_LANES are swept in sub-launches (VMEM
+    hit-state scratch is sized per launch).  Exercise the split path on
+    every engine by shrinking the caps below the wavefront size and
+    asserting identical results (a real 1920x1080 frame at 2.07M lanes
+    takes the same code path with the production caps — the TPU proof run
+    is recorded in BASELINE.md round 3)."""
+    from radish_pt_tpu.accel import pallas_kernels as pk
+
+    tri_packed, ray_o, ray_d = big_scene_rays
+    cb = _make_cluster_bounds(tri_packed)
+    # tile to ~6k lanes so a 2048 cap forces 3 launches
+    reps = 16
+    o = jnp.tile(ray_o, (reps, 1))
+    d = jnp.tile(ray_d, (reps, 1))
+    p0, d0 = pk.intersect_plucker_pallas(
+        tri_packed, o, d, cluster_bounds=cb, interpret=True
+    )
+    o2 = jnp.tile(ray_o, (reps, 1)) * 0 + o  # fresh arrays
+    monkeypatch.setattr(pk, "MAX_LANES_PER_LAUNCH", 2048)
+    monkeypatch.setattr(pk, "COMPACT_MAX_LANES", 2048)
+    monkeypatch.setattr(pk, "BAND_MAX_LANES", 2048)
+    p1, d1 = pk.intersect_plucker_pallas(
+        tri_packed, o2, d, cluster_bounds=cb, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p0))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d0))
+
+    pc, _ = pk.intersect_plucker_compact(
+        tri_packed, o, d, cluster_bounds=cb, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(pc), np.asarray(p0))
+    pb, _ = pk.intersect_plucker_band(
+        tri_packed, o, d, cluster_bounds=cb, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(pb), np.asarray(p0))
+
+    x = o[:2048 * 2, :]
+    y = x + d[:2048 * 2, :] * 20.0
+    oc0 = pk.occlusion_plucker_pallas(
+        tri_packed, x, y, cluster_bounds=cb, interpret=True
+    )
+    monkeypatch.setattr(pk, "MAX_LANES_PER_LAUNCH", 1024)
+    oc1 = pk.occlusion_plucker_pallas(
+        tri_packed, x, y, cluster_bounds=cb, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(oc1), np.asarray(oc0))

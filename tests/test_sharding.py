@@ -1,6 +1,8 @@
 """Multi-chip sharding tests on the 8-device virtual CPU mesh
 (SURVEY.md §4c: pjit/shard_map sharding tests standing in for multi-chip)."""
 
+from functools import partial
+
 import numpy as np
 import pytest
 
@@ -57,7 +59,8 @@ def test_tile_sharded_render_matches_single_device(cornell, cpu8):
     mesh = sh.make_mesh(n_tile=8, n_sample=1, devices=cpu8)
     ds_r = sh.replicate_scene(mesh, ds)
 
-    out_sharded = np.asarray(sh.render_frame_sharded(mesh, ds_r, cam, 5, max_depth=2))
+    frame = jax.jit(partial(sh.render_frame_sharded, mesh, max_depth=2))
+    out_sharded = np.asarray(frame(ds_r, cam, 5))
 
     with jax.default_device(cpu8[0]):
         d, ind = jax.jit(pt.path_trace, static_argnames=("max_depth",))(
@@ -75,7 +78,8 @@ def test_sample_axis_averages(cornell, cpu8):
     mesh = sh.make_mesh(n_tile=2, n_sample=2, devices=cpu8[:4])
     ds_r = sh.replicate_scene(mesh, ds)
     looper = 3
-    out = np.asarray(sh.render_frame_sharded(mesh, ds_r, cam, looper, max_depth=2))
+    frame = jax.jit(partial(sh.render_frame_sharded, mesh, max_depth=2))
+    out = np.asarray(frame(ds_r, cam, looper))
 
     with jax.default_device(cpu8[0]):
         f = jax.jit(pt.path_trace, static_argnames=("max_depth",))
@@ -92,7 +96,8 @@ def test_accumulate_sharded_runs(cornell, cpu8):
     ds_r = sh.replicate_scene(mesh, ds)
     n_pad = sh._padded_pixel_count(cam, 8)
     accum = sh.shard_image(mesh, jnp.zeros((cam.width * cam.height, 3)), cam)
-    out = sh.render_accumulate_sharded(mesh, ds_r, cam, accum, 0, 0, max_depth=2)
+    out = jax.jit(partial(sh.render_accumulate_sharded, mesh, max_depth=2))(
+        ds_r, cam, accum, 0, 0)
     out = np.asarray(out)
     assert np.isfinite(out).all() and out.mean() > 0.01
 
@@ -120,15 +125,15 @@ def test_restir_step_sharded_matches_single_device(cornell, cpu8):
     gbuf_last0 = gb.empty_frame(n)
     direct0 = jnp.zeros((n, 3), jnp.float32)
 
-    # two frames so the temporal chain is exercised
-    d_sh, r_sh, g_sh = sh.restir_step_sharded(
-        mesh, ds_r, cam, cam, 0, gbuf_last0, res0, True, direct0, 0,
-        reuse=ReservoirReuse.TEMPORAL_SPATIAL,
-    )
-    d_sh, r_sh, g_sh = sh.restir_step_sharded(
-        mesh, ds_r, cam, cam, 1, g_sh.frame, r_sh, False, d_sh, 1,
-        reuse=ReservoirReuse.TEMPORAL_SPATIAL,
-    )
+    # two frames so the temporal chain is exercised.  The step MUST be
+    # jitted: an eager shard_map dispatches the whole graph op-by-op
+    # (measured ~112 s per 512-pixel step on this host vs seconds jitted)
+    step = jax.jit(partial(sh.restir_step_sharded, mesh,
+                           reuse=ReservoirReuse.TEMPORAL_SPATIAL))
+    d_sh, r_sh, g_sh = step(
+        ds_r, cam, cam, 0, gbuf_last0, res0, jnp.asarray(True), direct0, 0)
+    d_sh, r_sh, g_sh = step(
+        ds_r, cam, cam, 1, g_sh.frame, r_sh, jnp.asarray(False), d_sh, 1)
     d_sh = np.asarray(d_sh)[:n]
 
     with jax.default_device(cpu8[0]):
@@ -213,9 +218,9 @@ def test_restir_sharded_odd_height_runs(cornell, cpu8):
     gbuf_last0 = gb.empty_frame(n_pad)
     direct0 = jnp.zeros((n_pad, 3), jnp.float32)
     ds_r = sh.replicate_scene(mesh, ds)
-    d, r, g = sh.restir_step_sharded(
-        mesh, ds_r, cam, cam, 0, gbuf_last0, res0, True, direct0, 0,
-        reuse=ReservoirReuse.TEMPORAL_SPATIAL,
-    )
+    step = jax.jit(partial(sh.restir_step_sharded, mesh,
+                           reuse=ReservoirReuse.TEMPORAL_SPATIAL))
+    d, r, g = step(
+        ds_r, cam, cam, 0, gbuf_last0, res0, jnp.asarray(True), direct0, 0)
     out = np.asarray(d)[: cam.width * cam.height]
     assert np.isfinite(out).all() and (out >= 0).all()
