@@ -10,6 +10,7 @@ intermediate PNGs instead.
 from __future__ import annotations
 
 import argparse
+import os
 import time
 
 
@@ -96,6 +97,15 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--compact-tuning", default=None, metavar="K=V[,K=V...]",
                    help="override pallas_compact engine tuning, e.g. "
                    "group=2,fan=4,work_per_row=40 (see tools/tpu_triage.py)")
+    p.add_argument(
+        "--intersector", default=None,
+        choices=["pallas_mxu", "pallas_compact", "pallas_quad",
+                 "pallas_band", "pallas_brute", "bvh", "brute"],
+        help="force the intersection engine (default: auto by scene size "
+        "and backend; also settable via RADISH_INTERSECTOR)")
+    p.add_argument(
+        "--band-g", type=int, default=None, choices=[1, 2, 4, 8, 16],
+        help="bands per 128-lane row for the pallas_band engine")
     return p
 
 
@@ -126,6 +136,14 @@ def apply_compact_tuning(spec: str) -> None:
 
 def main(argv=None) -> int:
     args = build_arg_parser().parse_args(argv)
+
+    if args.intersector:
+        # the scene build reads this before its auto-selection
+        os.environ["RADISH_INTERSECTOR"] = args.intersector
+    if args.band_g:
+        from .accel.pallas_kernels import BAND_TUNING
+
+        BAND_TUNING["G"] = args.band_g
 
     from .config import Denoiser, ReservoirReuse, ToneMapping, Tracer
     from .render.renderer import Renderer
