@@ -270,7 +270,15 @@ def _kdim(bf16x3) -> int:
 
 
 def _auto_prec(num_tris: int):
-    return True if num_tris <= PLUCKER_BF16X3_MAX_TRIS else "x6"
+    """Small scenes: bf16x3 (latency-bound ops win).  Mid scenes: HIGHEST —
+    their sweeps are VPU-epilogue-bound, so x6's 6x-smaller dot streaming
+    buys nothing while its 2x coefficient/feature bytes cost ~2% (glass
+    246.7 -> 252.3 ms measured).  Big scenes: x6 — the HIGHEST dot's
+    M-row streaming shows above the epilogue there (hires sweep
+    135.5 -> 100.4 ms)."""
+    if num_tris <= PLUCKER_BF16X3_MAX_TRIS:
+        return True
+    return "x6" if num_tris > BIG_SCENE_TRIS else False
 
 
 def _bf16_round(x):

@@ -838,10 +838,12 @@ def test_plucker_bf16x6_matches_brute():
     ray_d = jnp.asarray(ray_d.astype(np.float32))
     cb = _make_cluster_bounds(tri_packed)
 
-    assert pk._auto_prec(nt) == "x6"
+    assert pk._auto_prec(nt) is False  # mid tier: HIGHEST
+    assert pk._auto_prec(pk.BIG_SCENE_TRIS + 1) == "x6"
     p0, d0, _ = trv.intersect_brute(tri_packed, ray_o, ray_d)
     p1, d1 = intersect_plucker_pallas(
-        tri_packed, ray_o, ray_d, cluster_bounds=cb, interpret=True
+        tri_packed, ray_o, ray_d, cluster_bounds=cb, interpret=True,
+        bf16x3="x6",
     )
     np.testing.assert_array_equal(np.asarray(p1), np.asarray(p0))
     hits = np.asarray(p0) >= 0
@@ -854,13 +856,14 @@ def test_plucker_bf16x6_matches_brute():
     y = jnp.asarray(rng.uniform(-5, 5, size=(256, 3)).astype(np.float32))
     o0 = trv.occlusion_brute(tri_packed, x, y)
     o1 = occlusion_plucker_pallas(
-        tri_packed, x, y, cluster_bounds=cb, interpret=True
+        tri_packed, x, y, cluster_bounds=cb, interpret=True, bf16x3="x6"
     )
     np.testing.assert_array_equal(np.asarray(o1), np.asarray(o0))
 
     # the compact work-list engine shares the precision plumbing
     p2, _ = pk.intersect_plucker_compact(
-        tri_packed, ray_o, ray_d, cluster_bounds=cb, interpret=True
+        tri_packed, ray_o, ray_d, cluster_bounds=cb, interpret=True,
+        bf16x3="x6",
     )
     np.testing.assert_array_equal(np.asarray(p2), np.asarray(p0))
 
