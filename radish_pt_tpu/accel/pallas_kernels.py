@@ -18,6 +18,7 @@ block).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -419,18 +420,19 @@ def _plucker_kernel(
                     # expensive epilogue op); sd=0 lanes are invalid-masked
                     rs = jax.lax.rsqrt(sd)
                     tval = jnp.where(u >= 0.0, tdd * rs * rs, FLT_MAX)
+                    kb = ~((1 << _key_bits(sub)) - 1)
                     key = (
-                        jax.lax.bitcast_convert_type(tval, jnp.int32) & ~63
+                        jax.lax.bitcast_convert_type(tval, jnp.int32) & kb
                     ) | iota6
                     kmin = jnp.min(key, axis=0, keepdims=True)  # [1, 128]
                     tmin = jax.lax.bitcast_convert_type(
-                        kmin & ~63, jnp.float32
+                        kmin & kb, jnp.float32
                     )
                     row = pl.ds(base + r, 1)
-                    upd = (kmin < _KEY_MISS) & (tmin < dist_s[row, :])
+                    upd = (kmin < _key_miss(sub)) & (tmin < dist_s[row, :])
                     dist_s[row, :] = jnp.where(upd, tmin, dist_s[row, :])
                     prim_s[row, :] = jnp.where(
-                        upd, (kmin & 63) + id_base, prim_s[row, :]
+                        upd, (kmin & ~kb) + id_base, prim_s[row, :]
                     )
 
                 if use_mask:
@@ -631,12 +633,15 @@ def _scan_mask_bits(cluster_bounds, center, ray_o, ray_d, tmax,
     return packed.reshape(n_blocks, RAY_BLOCK // 128, n_chunks)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "bf16x3"))
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "bf16x3", "cluster_sub")
+)
 def intersect_plucker_pallas(
     tri_packed, ray_o, ray_d,
     tri_order=None, cluster_bounds=None, tmax=None,
     coeffs_pre=None, center_pre=None,
     interpret: bool = False, bf16x3: bool | None = None,
+    cluster_sub: int | None = None,
 ):
     """Closest hit over all triangles via the MXU Plücker formulation.
 
@@ -664,6 +669,7 @@ def intersect_plucker_pallas(
                 tmax=None if tmax is None else tmax[lo:hi],
                 coeffs_pre=coeffs_pre, center_pre=center_pre,
                 interpret=interpret, bf16x3=bf16x3,
+                cluster_sub=cluster_sub,
             )
             prims.append(p)
             dists.append(t)
@@ -672,7 +678,7 @@ def intersect_plucker_pallas(
     if bf16x3 is None:
         bf16x3 = _auto_prec(num_tris)
     n_pad = -(-n // RAY_BLOCK) * RAY_BLOCK
-    sub, tri_chunk, t_pad = _chunking(num_tris)
+    sub, tri_chunk, t_pad = _chunking(num_tris, cluster_sub)
     n_blocks = n_pad // RAY_BLOCK
     n_chunks = t_pad // tri_chunk
     subs_per_chunk = tri_chunk // sub
@@ -763,12 +769,15 @@ def intersect_plucker_pallas(
     return prim, dist
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "bf16x3"))
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "bf16x3", "cluster_sub")
+)
 def occlusion_plucker_pallas(tri_packed, x, y,
                              tri_order=None, cluster_bounds=None,
                              coeffs_pre=None, center_pre=None,
                              interpret: bool = False,
-                             bf16x3: bool | None = None):
+                             bf16x3: bool | None = None,
+                             cluster_sub: int | None = None):
     """Shadow query via the dedicated ANY-HIT MXU kernel (no id matmul,
     no division, no closest-hit reduce, per-row early-out); the segment
     length bounds both the culling prepass and the in-range test."""
@@ -781,6 +790,7 @@ def occlusion_plucker_pallas(tri_packed, x, y,
                 tri_order=tri_order, cluster_bounds=cluster_bounds,
                 coeffs_pre=coeffs_pre, center_pre=center_pre,
                 interpret=interpret, bf16x3=bf16x3,
+                cluster_sub=cluster_sub,
             )
             for lo in range(0, x.shape[0], MAX_LANES_PER_LAUNCH)
         ])
@@ -797,7 +807,7 @@ def occlusion_plucker_pallas(tri_packed, x, y,
     if bf16x3 is None:
         bf16x3 = _auto_prec(num_tris)
     n_pad = -(-n // RAY_BLOCK) * RAY_BLOCK
-    sub, tri_chunk, t_pad = _chunking(num_tris)
+    sub, tri_chunk, t_pad = _chunking(num_tris, cluster_sub)
     n_blocks = n_pad // RAY_BLOCK
     n_chunks = t_pad // tri_chunk
     subs_per_chunk = tri_chunk // sub
@@ -1313,12 +1323,13 @@ def _plucker_compact_kernel(
 
                     # packed-key argmin: sublane id in the low 6 mantissa
                     # bits, one integer min-reduce (see the scan kernel)
+                    kb = ~((1 << _key_bits(F)) - 1)
                     key = (
-                        jax.lax.bitcast_convert_type(tval, jnp.int32) & ~63
+                        jax.lax.bitcast_convert_type(tval, jnp.int32) & kb
                     ) | iota6
                     kmin = jnp.min(key, axis=0, keepdims=True)
                     tmin = jax.lax.bitcast_convert_type(
-                        kmin & ~63, jnp.float32
+                        kmin & kb, jnp.float32
                     )
                     id_base = ((p & umask) * g + s) * F
                     # fold each 128-lane column slice into its output row
@@ -1329,10 +1340,10 @@ def _plucker_compact_kernel(
                         row = pl.ds((p >> unit_bits) * group + j, 1)
                         kj = kmin[:, col]
                         tj = tmin[:, col]
-                        upd = (kj < _KEY_MISS) & (tj < dist_ref[row, :])
+                        upd = (kj < _key_miss(F)) & (tj < dist_ref[row, :])
                         dist_ref[row, :] = jnp.where(upd, tj, dist_ref[row, :])
                         prim_ref[row, :] = jnp.where(
-                            upd, (kj & 63) + id_base, prim_ref[row, :]
+                            upd, (kj & ~kb) + id_base, prim_ref[row, :]
                         )
 
                 _fine()
@@ -1810,6 +1821,16 @@ QUAD_K = QUAD_FEATS
 _KEY_MISS = 0x7F7FFFC0  # bitcast(FLT_MAX) & ~63: "no hit in this cluster"
 
 
+def _key_bits(sub: int) -> int:
+    """Low mantissa bits of the packed winner key that carry the sublane
+    index (CLUSTER_SUB may be retuned above 64 — tools/subsweep probes)."""
+    return max(6, (sub - 1).bit_length())
+
+
+def _key_miss(sub: int) -> int:
+    return 0x7F7FFFFF & ~((1 << _key_bits(sub)) - 1)
+
+
 # NOTE on precision (measured, round 2): a bf16x3 emulation (split f32 into
 # hi/lo bf16, K-stack the three cross-products) runs ~2x faster but the
 # quadratic form SQUARES MT's condition number — moderately grazing hits
@@ -1969,15 +1990,16 @@ def _quad_kernel(
                     rs = jax.lax.rsqrt(q4 + PLUCKER_EPS2)
                     t = q5 * rs * rs
                     tval = jnp.where(mmin >= 0.0, t, FLT_MAX)
+                    kb = ~((1 << _key_bits(sub)) - 1)
                     key = (
-                        jax.lax.bitcast_convert_type(tval, jnp.int32) & ~63
+                        jax.lax.bitcast_convert_type(tval, jnp.int32) & kb
                     ) | iota6
                     kmin = jnp.min(key, axis=0, keepdims=True)  # [1, 128]
 
                     row = pl.ds(base + r, 1)
-                    tq = jax.lax.bitcast_convert_type(kmin & ~63, jnp.float32)
-                    prim_new = (c * tri_chunk + s * sub) + (kmin & 63)
-                    upd = (kmin < _KEY_MISS) & (tq < dist_s[row, :])
+                    tq = jax.lax.bitcast_convert_type(kmin & kb, jnp.float32)
+                    prim_new = (c * tri_chunk + s * sub) + (kmin & ~kb)
+                    upd = (kmin < _key_miss(sub)) & (tq < dist_s[row, :])
                     dist_s[row, :] = jnp.where(upd, tq, dist_s[row, :])
                     prim_s[row, :] = jnp.where(upd, prim_new, prim_s[row, :])
 
@@ -2080,17 +2102,41 @@ def _quad_occl_kernel(
 MAX_LANES_PER_LAUNCH = 1 << 20
 
 
-def _chunking(num_tris: int):
+def cluster_sub_for(num_tris: int) -> int:
+    """Per-scene culling-cluster size for the SCAN-tier engines.
+
+    Swept on-chip (round 3, /tmp subsweep probes, 800^2 depth-5 frames):
+    cluster size trades per-op fixed cost (grid steps, branches, M-stream
+    latency) against row-union pair waste, and the optimum GROWS with
+    scene size: teapot(4.9k) 151 ms @128 vs 157 @64; glass(7.9k) 245 @64
+    vs 252 @128; teapot_hires(111k) 644 @512 vs 786 @64 (-18%).  Default
+    64; big scan-tier scenes get 512; RADISH_CLUSTER_SUB overrides (the
+    compact/band engines keep the fixed 64-tri granularity their SMEM
+    mask/work-list formats assume)."""
+    env = os.environ.get("RADISH_CLUSTER_SUB")
+    if env:
+        return int(env)
+    if BIG_SCENE_TRIS < num_tris <= PALLAS_MXU_MAX_TRIS:
+        return 512
+    return CLUSTER_SUB
+
+
+def _chunking(num_tris: int, cluster_sub: int | None = None):
     """(sub, tri_chunk, t_pad) for the scan kernels' (chunk, block) grid.
 
     Big scenes double the chunk: the grid-step pipeline cost (~0.26 us) at
     111k tris is 218 x 625 = 136k steps — TRI_CHUNK=1024 measured 28%/10%
     faster primary/bounce sweeps at teapot_hires with exact winner parity,
     while 2048 (a 128-wide pl.when nest per step) collapsed 3-4x (icache)
-    and mid scenes are insensitive (±3%; tools/ab_chunk.py)."""
-    if num_tris > CLUSTER_SUB:
-        sub = CLUSTER_SUB
+    and mid scenes are insensitive (±3%; tools/ab_chunk.py).
+
+    ``cluster_sub`` overrides the 64-tri cull-cluster size (the scene build
+    passes its per-scene choice, cluster_sub_for)."""
+    csub = cluster_sub or CLUSTER_SUB
+    if num_tris > csub:
+        sub = csub
         chunk = TRI_CHUNK * 2 if num_tris > BIG_SCENE_TRIS else TRI_CHUNK
+        chunk = max(sub, (chunk // sub) * sub)
         tri_chunk = min(chunk, -(-num_tris // sub) * sub)
     else:
         tri_chunk = -(-num_tris // TRI_SUB) * TRI_SUB
@@ -2099,7 +2145,7 @@ def _chunking(num_tris: int):
     return sub, tri_chunk, t_pad
 
 
-def precompute_sweep_coeffs(tri_packed, tri_order=None):
+def precompute_sweep_coeffs(tri_packed, tri_order=None, cluster_sub=None):
     """Build-time stacked Plücker decision planes + scene center.
 
     The coefficient prep (permute + 4 plane rows + pad + M-stack) costs
@@ -2117,7 +2163,7 @@ def precompute_sweep_coeffs(tri_packed, tri_order=None):
     if tri_order is not None:
         tri_packed = tri_packed[tri_order]
     bf16x3 = _auto_prec(num_tris)
-    sub, _, t_pad = _chunking(num_tris)
+    sub, _, t_pad = _chunking(num_tris, cluster_sub)
     v0 = tri_packed[:, 0:3]
     center = jax.lax.stop_gradient(0.5 * (v0.min(axis=0) + v0.max(axis=0)))
     coeffs = _plucker_coeffs(
@@ -2596,17 +2642,18 @@ def _band_kernel(
                 u = jnp.minimum(v, tdd)
                 rs = jax.lax.rsqrt(sd)
                 tval = jnp.where(u >= 0.0, tdd * rs * rs, FLT_MAX)
+                kb = ~((1 << _key_bits(F)) - 1)
                 key = (
-                    jax.lax.bitcast_convert_type(tval, jnp.int32) & ~63
+                    jax.lax.bitcast_convert_type(tval, jnp.int32) & kb
                 ) | iota6
                 kmin = jnp.min(key, axis=0, keepdims=True)  # [1, 128]
-                tmin = jax.lax.bitcast_convert_type(kmin & ~63, jnp.float32)
+                tmin = jax.lax.bitcast_convert_type(kmin & kb, jnp.float32)
                 # id base is PER LANE: (pass base + local cluster) * 64
                 id_base = (p * Cp + S) * F
-                upd = (kmin < _KEY_MISS) & (tmin < dist_s[row, :])
+                upd = (kmin < _key_miss(F)) & (tmin < dist_s[row, :])
                 dist_s[row, :] = jnp.where(upd, tmin, dist_s[row, :])
                 prim_s[row, :] = jnp.where(
-                    upd, (kmin & 63) + id_base, prim_s[row, :]
+                    upd, (kmin & ~kb) + id_base, prim_s[row, :]
                 )
 
             _band_sweep_loop(mask_ref, r, tab_s, cat_s, f_big, words, G,

@@ -28,7 +28,8 @@ from .parser import SceneDesc
 BRUTE_FORCE_MAX_TRIS = 128
 
 
-def _sweep_coeff_fields(intersector: str, tri_packed_np: np.ndarray) -> dict:
+def _sweep_coeff_fields(intersector: str, tri_packed_np: np.ndarray,
+                        cluster_sub: int = 64) -> dict:
     """Precompute the MXU engines' stacked Plücker decision planes once per
     scene (accel.pallas_kernels.precompute_sweep_coeffs) — the per-sweep
     coefficient prep otherwise reruns inside the bounce fori_loop (~5.5 ms
@@ -42,7 +43,8 @@ def _sweep_coeff_fields(intersector: str, tri_packed_np: np.ndarray) -> dict:
         return {}
     from ..accel.pallas_kernels import precompute_sweep_coeffs
 
-    coeffs, center = precompute_sweep_coeffs(jnp.asarray(tri_packed_np))
+    coeffs, center = precompute_sweep_coeffs(jnp.asarray(tri_packed_np),
+                                             cluster_sub=cluster_sub)
     return {"sweep_coeffs": coeffs, "sweep_center": center}
 
 
@@ -262,8 +264,17 @@ def build_device_scene(
     cluster_bounds = None
     # below ~1k triangles the dense sweep is ~1 ms, so the culling prepass
     # (~4 ms) and the bounce-ray sorting (~12 ms) are net losses
+    csub = 64
     if num_tris > 1024:
-        from ..accel.pallas_kernels import CLUSTER_SUB
+        from ..accel.pallas_kernels import CLUSTER_SUB, cluster_sub_for
+
+        # per-scene cull-cluster size (swept round 3: hires 786 -> 644 ms
+        # at 512); the compact/band engines keep the 64-tri granularity
+        # their SMEM formats assume
+        CLUSTER_SUB = (cluster_sub_for(num_tris)
+                       if intersector in ("pallas_mxu", "pallas_quad")
+                       else CLUSTER_SUB)
+        csub = CLUSTER_SUB
 
         # ---- area-optimal cluster cuts + slot padding ----
         # Fixed CLUSTER_SUB-sized cuts of the DFS order slice across subtree
@@ -352,10 +363,11 @@ def build_device_scene(
         bvh_packed=jnp.asarray(pack_bvh(bvh)),
         tri_packed=jnp.asarray(pack_tris(tri_v)),
         tri_order=None,  # scene is stored pre-permuted: positional == real id
-        **_sweep_coeff_fields(intersector, pack_tris(tri_v)),
+        **_sweep_coeff_fields(intersector, pack_tris(tri_v), csub),
         cluster_bounds=(
             jnp.asarray(cluster_bounds) if cluster_bounds is not None else None
         ),
+        cluster_sub=csub,
         leaf_tris=jnp.asarray(bvh.leaf_tris),
         leaf_map=jnp.asarray(leaf_map),
         mat_type=jnp.asarray([m.mtype for m in mats], jnp.int32),

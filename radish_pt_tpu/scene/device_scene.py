@@ -86,10 +86,13 @@ class DeviceScene:
     bounds_max: jnp.ndarray = None  # f32 [B, 3]
     bvh_packed: jnp.ndarray = None  # f32 [6*B, 8] packed node table
     tri_packed: jnp.ndarray = None  # f32 [T, 9] v0/e01/e02 components
-    # spatial (BVH leaf order) permutation + per-64-tri cluster AABBs for the
+    # spatial (BVH leaf order) permutation + per-cluster AABBs for the
     # MXU intersector's per-ray-block culling (None to disable)
     tri_order: jnp.ndarray = None  # i32 [T]
     cluster_bounds: jnp.ndarray = None  # f32 [C, 6] (min.xyz, max.xyz)
+    # triangles per cull cluster (per-scene: 64 default, 512 for big
+    # scan-tier scenes — accel.pallas_kernels.cluster_sub_for)
+    cluster_sub: int = struct.field(pytree_node=False, default=64)
     # build-time stacked Plücker decision planes + scene center for the MXU
     # engines (accel.pallas_kernels.precompute_sweep_coeffs): computing them
     # per sweep inside the bounce fori_loop costs ~5.5 ms/sweep at 111k tris
@@ -297,7 +300,8 @@ def _mxu_engines(ds: DeviceScene):
     if ds.intersector == "pallas_quad":
         # the quad engine keeps inline coeff prep (different plane layout)
         return intersect_quad_pallas, occlusion_quad_pallas, {}
-    return intersect_plucker_pallas, occlusion_plucker_pallas, pre
+    return (intersect_plucker_pallas, occlusion_plucker_pallas,
+            dict(cluster_sub=ds.cluster_sub) | pre)
 
 
 def intersect(ds: DeviceScene, ray_o, ray_d, active=None) -> Interaction:

@@ -149,9 +149,10 @@ def frame_pair_stats(ds: dsc.DeviceScene, cam, looper: int, max_depth: int):
 
     union_total = float(sum(float(s[0]) for s in sweeps))
     ray_total = float(sum(float(s[1]) for s in sweeps))
+    csub = float(ds.cluster_sub)
     return {
-        "pairs_swept": union_total * 64.0 * 128.0,
-        "pairs_floor": ray_total * 64.0,
+        "pairs_swept": union_total * csub * 128.0,
+        "pairs_floor": ray_total * csub,
     }
 
 

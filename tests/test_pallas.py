@@ -526,7 +526,8 @@ def test_mxu_engine_dispatch():
 
     ds = DeviceScene(intersector="pallas_mxu")
     assert _mxu_engines(ds) == (
-        pk.intersect_plucker_pallas, pk.occlusion_plucker_pallas, {})
+        pk.intersect_plucker_pallas, pk.occlusion_plucker_pallas,
+        {"cluster_sub": 64})
     ds = DeviceScene(intersector="pallas_quad")
     assert _mxu_engines(ds) == (
         pk.intersect_quad_pallas, pk.occlusion_quad_pallas, {})
