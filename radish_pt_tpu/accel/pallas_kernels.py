@@ -2194,11 +2194,47 @@ def _take_pre_coeffs(coeffs_pre, center_pre, sub, t_pad, kdim,
     return coeffs_pre[:rows], center_pre
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "prec"))
+def precompute_quad_coeffs(tri_packed, prec: str = "x6",
+                           cluster_sub: int | None = None):
+    """Build-time stacked quadratic decision planes (WITH the q6 range
+    plane) + scene center for the quad engine — the inline prep otherwise
+    reruns inside the bounce fori_loop (~20 ms/sweep at 111k tris).  The
+    closest-hit entry slices the first 5 plane blocks per cluster
+    (M-stacking puts plane g of a cluster at rows g*sub..(g+1)*sub)."""
+    num_tris = tri_packed.shape[0]
+    sub, _, t_pad = _chunking(num_tris, cluster_sub)
+    v0 = tri_packed[:, 0:3]
+    center = jax.lax.stop_gradient(0.5 * (v0.min(axis=0) + v0.max(axis=0)))
+    coeffs = _quad_coeffs(tri_packed, center, with_q6=True)
+    coeffs = jnp.pad(coeffs, ((0, 0), (0, t_pad - num_tris), (0, 0)))
+    return _stack_coeffs(coeffs, sub, prec), center
+
+
+def _take_quad_pre(coeffs_pre, center_pre, sub, t_pad, kdim, planes,
+                   tri_order=None):
+    """Validate precomputed quad planes; slice to ``planes`` per cluster."""
+    if coeffs_pre is None or center_pre is None or tri_order is not None:
+        return None
+    rows = t_pad // sub
+    if (
+        coeffs_pre.ndim != 3
+        or coeffs_pre.shape[0] < rows
+        or coeffs_pre.shape[1] != 6 * sub
+        or coeffs_pre.shape[2] != kdim
+    ):
+        return None
+    return coeffs_pre[:rows, :planes * sub, :], center_pre
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "prec", "cluster_sub")
+)
 def intersect_quad_pallas(
     tri_packed, ray_o, ray_d,
     tri_order=None, cluster_bounds=None, tmax=None,
+    coeffs_pre=None, center_pre=None,
     interpret: bool = False, prec: str = "x6",
+    cluster_sub: int | None = None,
 ):
     """Closest hit via the quadratic-feature MXU kernel.
 
@@ -2210,15 +2246,21 @@ def intersect_quad_pallas(
     """
     n = ray_o.shape[0]
     num_tris = tri_packed.shape[0]
-    sub, tri_chunk, t_pad = _chunking(num_tris)
+    sub, tri_chunk, t_pad = _chunking(num_tris, cluster_sub)
     n_chunks = t_pad // tri_chunk
     subs_per_chunk = tri_chunk // sub
 
-    v0 = tri_packed[:, 0:3]
-    center = jax.lax.stop_gradient(0.5 * (v0.min(axis=0) + v0.max(axis=0)))
-    coeffs = _quad_coeffs(tri_packed, center)
-    coeffs = jnp.pad(coeffs, ((0, 0), (0, t_pad - num_tris), (0, 0)))
-    coeffs = _stack_coeffs(coeffs, sub, prec)  # [t_pad//sub, 5*sub, kdim]
+    pre = _take_quad_pre(coeffs_pre, center_pre, sub, t_pad,
+                         _quad_kdim(prec), planes=5, tri_order=tri_order)
+    if pre is not None:
+        coeffs, center = pre
+    else:
+        v0 = tri_packed[:, 0:3]
+        center = jax.lax.stop_gradient(
+            0.5 * (v0.min(axis=0) + v0.max(axis=0)))
+        coeffs = _quad_coeffs(tri_packed, center)
+        coeffs = jnp.pad(coeffs, ((0, 0), (0, t_pad - num_tris), (0, 0)))
+        coeffs = _stack_coeffs(coeffs, sub, prec)  # [t_pad//sub, 5*sub, k]
 
     prims = []
     dists = []
@@ -2301,10 +2343,14 @@ def _quad_launch(coeffs, center, ray_o, ray_d, tmax, cluster_bounds, *,
     return prim.reshape(-1)[:n], dist.reshape(-1)[:n]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "prec"))
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "prec", "cluster_sub")
+)
 def occlusion_quad_pallas(tri_packed, x, y,
                           tri_order=None, cluster_bounds=None,
-                          interpret: bool = False, prec: str = "x6"):
+                          coeffs_pre=None, center_pre=None,
+                          interpret: bool = False, prec: str = "x6",
+                          cluster_sub: int | None = None):
     """Shadow query via the quadratic any-hit kernel over unit-parameter
     segments (epsilon-inset exactly like occlusion_brute: origin advanced
     1e-5, endpoint pulled back 1e-4 along the normalized direction)."""
@@ -2317,15 +2363,21 @@ def occlusion_quad_pallas(tri_packed, x, y,
 
     n = x.shape[0]
     num_tris = tri_packed.shape[0]
-    sub, tri_chunk, t_pad = _chunking(num_tris)
+    sub, tri_chunk, t_pad = _chunking(num_tris, cluster_sub)
     n_chunks = t_pad // tri_chunk
     subs_per_chunk = tri_chunk // sub
 
-    v0 = tri_packed[:, 0:3]
-    center = jax.lax.stop_gradient(0.5 * (v0.min(axis=0) + v0.max(axis=0)))
-    coeffs = _quad_coeffs(tri_packed, center, with_q6=True)
-    coeffs = jnp.pad(coeffs, ((0, 0), (0, t_pad - num_tris), (0, 0)))
-    coeffs = _stack_coeffs(coeffs, sub, prec)  # [t_pad//sub, 6*sub, kdim]
+    pre = _take_quad_pre(coeffs_pre, center_pre, sub, t_pad,
+                         _quad_kdim(prec), planes=6, tri_order=tri_order)
+    if pre is not None:
+        coeffs, center = pre
+    else:
+        v0 = tri_packed[:, 0:3]
+        center = jax.lax.stop_gradient(
+            0.5 * (v0.min(axis=0) + v0.max(axis=0)))
+        coeffs = _quad_coeffs(tri_packed, center, with_q6=True)
+        coeffs = jnp.pad(coeffs, ((0, 0), (0, t_pad - num_tris), (0, 0)))
+        coeffs = _stack_coeffs(coeffs, sub, prec)  # [t_pad//sub, 6*sub, k]
 
     outs = []
     for lo in range(0, n, MAX_LANES_PER_LAUNCH):

@@ -39,6 +39,12 @@ def _sweep_coeff_fields(intersector: str, tri_packed_np: np.ndarray,
 
         coeffs, center = precompute_band_coeffs(jnp.asarray(tri_packed_np))
         return {"sweep_coeffs": coeffs, "sweep_center": center}
+    if intersector == "pallas_quad":
+        from ..accel.pallas_kernels import precompute_quad_coeffs
+
+        coeffs, center = precompute_quad_coeffs(
+            jnp.asarray(tri_packed_np), cluster_sub=cluster_sub)
+        return {"sweep_coeffs": coeffs, "sweep_center": center}
     if intersector not in ("pallas_mxu", "pallas_compact"):
         return {}
     from ..accel.pallas_kernels import precompute_sweep_coeffs

@@ -298,8 +298,8 @@ def _mxu_engines(ds: DeviceScene):
         return (intersect_plucker_band, occlusion_plucker_band,
                 dict(BAND_TUNING) | pre)
     if ds.intersector == "pallas_quad":
-        # the quad engine keeps inline coeff prep (different plane layout)
-        return intersect_quad_pallas, occlusion_quad_pallas, {}
+        return (intersect_quad_pallas, occlusion_quad_pallas,
+                dict(cluster_sub=ds.cluster_sub) | pre)
     return (intersect_plucker_pallas, occlusion_plucker_pallas,
             dict(cluster_sub=ds.cluster_sub) | pre)
 

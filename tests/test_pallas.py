@@ -530,7 +530,8 @@ def test_mxu_engine_dispatch():
         {"cluster_sub": 64})
     ds = DeviceScene(intersector="pallas_quad")
     assert _mxu_engines(ds) == (
-        pk.intersect_quad_pallas, pk.occlusion_quad_pallas, {})
+        pk.intersect_quad_pallas, pk.occlusion_quad_pallas,
+        {"cluster_sub": 64})
     ds = DeviceScene(intersector="pallas_compact")
     isect, occl, tuning = _mxu_engines(ds)
     assert isect is pk.intersect_plucker_compact
@@ -918,3 +919,34 @@ def test_wavefront_launch_splitting(big_scene_rays, monkeypatch):
         tri_packed, x, y, cluster_bounds=cb, interpret=True
     )
     np.testing.assert_array_equal(np.asarray(oc1), np.asarray(oc0))
+
+
+def test_quad_precomputed_coeffs_match(big_scene_rays):
+    """Build-time quad planes (precompute_quad_coeffs; q6 stored, closest
+    hit slices 5 planes per cluster) match inline prep."""
+    from radish_pt_tpu.accel import pallas_kernels as pk
+
+    tri_packed, ray_o, ray_d = big_scene_rays
+    cb = _make_cluster_bounds(tri_packed)
+    co, ce = pk.precompute_quad_coeffs(tri_packed)
+    p0, d0 = intersect_quad_pallas(
+        tri_packed, ray_o, ray_d, cluster_bounds=cb, interpret=True
+    )
+    p1, d1 = intersect_quad_pallas(
+        tri_packed, ray_o, ray_d, cluster_bounds=cb,
+        coeffs_pre=co, center_pre=ce, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p0))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d0), rtol=2e-5)
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(-5, 5, size=(256, 3)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(-5, 5, size=(256, 3)).astype(np.float32))
+    o0 = occlusion_quad_pallas(
+        tri_packed, x, y, cluster_bounds=cb, interpret=True
+    )
+    o1 = occlusion_quad_pallas(
+        tri_packed, x, y, cluster_bounds=cb,
+        coeffs_pre=co, center_pre=ce, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o0))
