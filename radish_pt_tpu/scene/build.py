@@ -33,24 +33,50 @@ def _sweep_coeff_fields(intersector: str, tri_packed_np: np.ndarray,
     """Precompute the MXU engines' stacked Plücker decision planes once per
     scene (accel.pallas_kernels.precompute_sweep_coeffs) — the per-sweep
     coefficient prep otherwise reruns inside the bounce fori_loop (~5.5 ms
-    x ~11 sweeps per depth-5 frame at 111k tris)."""
+    x ~11 sweeps per depth-5 frame at 111k tris).
+
+    Runs pinned to the host CPU backend: through a tunneled chip, the
+    handful of tiny eager jnp ops here each pay a ~0.5 s REMOTE compile
+    (measured: 18.5 s of the 42 s hires scene build); on CPU they compile
+    in milliseconds and the finished arrays transfer to the accelerator
+    once at first use."""
+    import contextlib
+
+    import jax
+
+    try:
+        ctx = jax.default_device(jax.devices("cpu")[0])
+    except RuntimeError:
+        ctx = contextlib.nullcontext()
+    with ctx:
+        return _sweep_coeff_fields_impl(intersector, tri_packed_np,
+                                        cluster_sub)
+
+
+def _sweep_coeff_fields_impl(intersector: str, tri_packed_np: np.ndarray,
+                             cluster_sub: int = 64) -> dict:
     if intersector == "pallas_band":
         from ..accel.pallas_kernels import precompute_band_coeffs
 
         coeffs, center = precompute_band_coeffs(jnp.asarray(tri_packed_np))
         return {"sweep_coeffs": coeffs, "sweep_center": center}
+    import jax
+
     if intersector == "pallas_quad":
         from ..accel.pallas_kernels import precompute_quad_coeffs
 
-        coeffs, center = precompute_quad_coeffs(
-            jnp.asarray(tri_packed_np), cluster_sub=cluster_sub)
+        # one jitted program instead of ~50 eager op compiles
+        fn = jax.jit(precompute_quad_coeffs,
+                     static_argnames=("prec", "cluster_sub"))
+        coeffs, center = fn(jnp.asarray(tri_packed_np),
+                            cluster_sub=cluster_sub)
         return {"sweep_coeffs": coeffs, "sweep_center": center}
     if intersector not in ("pallas_mxu", "pallas_compact"):
         return {}
     from ..accel.pallas_kernels import precompute_sweep_coeffs
 
-    coeffs, center = precompute_sweep_coeffs(jnp.asarray(tri_packed_np),
-                                             cluster_sub=cluster_sub)
+    fn = jax.jit(precompute_sweep_coeffs, static_argnames=("cluster_sub",))
+    coeffs, center = fn(jnp.asarray(tri_packed_np), cluster_sub=cluster_sub)
     return {"sweep_coeffs": coeffs, "sweep_center": center}
 
 
