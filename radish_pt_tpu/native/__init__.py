@@ -20,6 +20,7 @@ _LIB_PATH = os.path.join(_HERE, "libradish_native.so")
 _SOURCES = [
     os.path.join(_HERE, "src", "bvh_builder.cpp"),
     os.path.join(_HERE, "src", "obj_loader.cpp"),
+    os.path.join(_HERE, "src", "cluster_cuts.cpp"),
 ]
 
 _lib = None
@@ -69,6 +70,11 @@ def load_library():
     lib.radish_obj_num_corners.argtypes = [ctypes.c_void_p]
     lib.radish_obj_copy.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 3
     lib.radish_obj_free.argtypes = [ctypes.c_void_p]
+    lib.radish_cluster_cuts.restype = ctypes.c_int64
+    lib.radish_cluster_cuts.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_float, ctypes.c_int64, ctypes.c_void_p,
+    ]
     _lib = lib
     return _lib
 
@@ -144,3 +150,22 @@ def native_load_obj(path: str):
         return v, n, uv
     finally:
         lib.radish_obj_free(h)
+
+
+def native_cluster_cuts(pmin, pmax, sub: int, lam: float, chunk: int):
+    """Area-optimal cluster segmentation (scene/build._cluster_cuts DP) in
+    C++; returns int64 cut positions or None when the library is absent."""
+    import numpy as np
+
+    lib = load_library()
+    if lib is None:
+        return None
+    pmin = np.ascontiguousarray(pmin, np.float32)
+    pmax = np.ascontiguousarray(pmax, np.float32)
+    T = pmin.shape[0]
+    out = np.empty(T + 1, np.int64)
+    n = lib.radish_cluster_cuts(
+        pmin.ctypes.data, pmax.ctypes.data, T, sub, ctypes.c_float(lam),
+        chunk, out.ctypes.data,
+    )
+    return out[:n].copy()

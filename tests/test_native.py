@@ -67,3 +67,32 @@ def test_native_obj_quad_negative_indices(lib, tmp_path):
     v, n, uv = native_load_obj(str(p))
     np.testing.assert_allclose(v, ref.vertices)
     np.testing.assert_allclose(uv, ref.texcoords)
+
+
+def test_native_cluster_cuts_matches_numpy():
+    """The C++ cluster-cut DP is the same algorithm (same windows, same
+    tie-breaking) as the numpy fallback — cuts must be identical."""
+    import numpy as np
+
+    from radish_pt_tpu import native
+    from radish_pt_tpu.scene import build as sbuild
+
+    if native.load_library() is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(9)
+    centers = rng.uniform(-10, 10, (3000, 3)).astype(np.float32)
+    half = rng.uniform(0.01, 0.4, (3000, 3)).astype(np.float32)
+    order = np.argsort(centers[:, 0], kind="stable")
+    pmin = (centers - half)[order]
+    pmax = (centers + half)[order]
+    lam = 0.005 * sbuild._box_area(pmin.min(axis=0), pmax.max(axis=0))
+    got = native.native_cluster_cuts(pmin, pmax, 64, lam, 1024)
+    # run the numpy DP by disabling the native path
+    import unittest.mock as mock
+
+    with mock.patch.object(native, "load_library", lambda: None):
+        want = sbuild._cluster_cuts(pmin, pmax, sub=64, lam_frac=0.005,
+                                    chunk=1024)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
