@@ -2105,7 +2105,7 @@ MAX_LANES_PER_LAUNCH = 1 << 20
 def cluster_sub_for(num_tris: int) -> int:
     """Per-scene culling-cluster size for the SCAN-tier engines.
 
-    Swept on-chip (round 3, /tmp subsweep probes, 800^2 depth-5 frames):
+    Swept on-chip (round 3, tools/cluster_sweep.py, 800^2 depth-5 frames):
     cluster size trades per-op fixed cost (grid steps, branches, M-stream
     latency) against row-union pair waste, and the optimum GROWS with
     scene size: teapot(4.9k) 151 ms @128 vs 157 @64; glass(7.9k) 245 @64
@@ -2460,7 +2460,7 @@ def _quad_occl_launch(coeffs, center, ray_o, seg, cluster_bounds, *,
 # Critically, the win only materializes if each band walks its own GLOBAL
 # cluster list: restricting a sweep's G clusters to a small shared window
 # (e.g. one 16-cluster chunk) re-fragments the schedule and erases the gain
-# (measured: window 8 -> j 82 vs unbounded 31, /tmp probe round 3).  So this
+# (measured: window 8 -> j 82 vs unbounded 31; BASELINE.md round 3).  So this
 # engine splits the scene into P PASSES sized to VMEM (~6 MB of transposed
 # coefficients each, single-buffered via an explicit DMA) and, within a
 # pass, every band advances through its own bitmask independently:
@@ -2576,20 +2576,14 @@ def _band_sweep_loop(mask_ref, r, c_tab, cat_s, f_big, words: int, G: int,
     """
     i32 = jnp.int32
 
-    def refill(state):
-        w, m = state
-
+    def refill(b, state):
         def _cond(s):
             return (s[1] == 0) & (s[0] < words)
 
-        def _next(s):
-            return s[0] + 1, mask_ref[0, 0, r, _b[0], s[0]]
+        def _next(s, b=b):
+            return s[0] + 1, mask_ref[0, 0, r, b, s[0]]
 
-        return jax.lax.while_loop(_cond, _next, (w, m))
-
-    # _b is threaded via a 1-element list so `refill` can read the band
-    # index without re-tracing per band (python closure over loop var)
-    _b = [0]
+        return jax.lax.while_loop(_cond, _next, state)
 
     def outer_cond(state):
         alive = jnp.zeros((), jnp.bool_)
@@ -2602,8 +2596,7 @@ def _band_sweep_loop(mask_ref, r, c_tab, cat_s, f_big, words: int, G: int,
         new_state = []
         s_b = []
         for b in range(G):
-            _b[0] = b
-            w, m = refill((state[2 * b], state[2 * b + 1]))
+            w, m = refill(b, (state[2 * b], state[2 * b + 1]))
             s_b.append(_scalar_lsb_index(m) + (w - 1) * 16)
             new_state += [w, m & (m - 1)]
         # sentinel (exhausted band): clamp to cluster 0 — its lanes flagged
