@@ -2205,8 +2205,13 @@ def precompute_quad_coeffs(tri_packed, prec: str = "x6",
     sub, _, t_pad = _chunking(num_tris, cluster_sub)
     v0 = tri_packed[:, 0:3]
     center = jax.lax.stop_gradient(0.5 * (v0.min(axis=0) + v0.max(axis=0)))
-    coeffs = _quad_coeffs(tri_packed, center, with_q6=True)
-    coeffs = jnp.pad(coeffs, ((0, 0), (0, t_pad - num_tris), (0, 0)))
+    # Pad with degenerate (all-zero) triangles BEFORE the coefficient build:
+    # a zero tri has det == 0, so its q4 plane dots to -eps^2*|d|^2 < 0 and
+    # the pad row can never win.  Zero-padding the coefficient rows instead
+    # zeroes the eps plane too, and all q == 0 passes the inclusive >= 0
+    # edge rule as a fake hit at t = 0.
+    tri_pad = jnp.pad(tri_packed, ((0, t_pad - num_tris), (0, 0)))
+    coeffs = _quad_coeffs(tri_pad, center, with_q6=True)
     return _stack_coeffs(coeffs, sub, prec), center
 
 
@@ -2258,8 +2263,10 @@ def intersect_quad_pallas(
         v0 = tri_packed[:, 0:3]
         center = jax.lax.stop_gradient(
             0.5 * (v0.min(axis=0) + v0.max(axis=0)))
-        coeffs = _quad_coeffs(tri_packed, center)
-        coeffs = jnp.pad(coeffs, ((0, 0), (0, t_pad - num_tris), (0, 0)))
+        # degenerate-tri padding keeps the q4 eps plane negative on pad
+        # rows (see precompute_quad_coeffs)
+        tri_pad = jnp.pad(tri_packed, ((0, t_pad - num_tris), (0, 0)))
+        coeffs = _quad_coeffs(tri_pad, center)
         coeffs = _stack_coeffs(coeffs, sub, prec)  # [t_pad//sub, 5*sub, k]
 
     prims = []
@@ -2375,8 +2382,10 @@ def occlusion_quad_pallas(tri_packed, x, y,
         v0 = tri_packed[:, 0:3]
         center = jax.lax.stop_gradient(
             0.5 * (v0.min(axis=0) + v0.max(axis=0)))
-        coeffs = _quad_coeffs(tri_packed, center, with_q6=True)
-        coeffs = jnp.pad(coeffs, ((0, 0), (0, t_pad - num_tris), (0, 0)))
+        # degenerate-tri padding keeps the q4 eps plane negative on pad
+        # rows (see precompute_quad_coeffs)
+        tri_pad = jnp.pad(tri_packed, ((0, t_pad - num_tris), (0, 0)))
+        coeffs = _quad_coeffs(tri_pad, center, with_q6=True)
         coeffs = _stack_coeffs(coeffs, sub, prec)  # [t_pad//sub, 6*sub, k]
 
     outs = []

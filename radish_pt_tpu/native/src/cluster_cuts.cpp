@@ -79,8 +79,10 @@ int64_t radish_cluster_cuts(const float* pmin, const float* pmax, int64_t T,
       cost[i + 1] = best;
       back[i + 1] = best_start;
       // shift the ring: segment-start slots move one up for the next i;
-      // slot 0 becomes the fresh single-triangle segment
-      const int64_t wlim = std::min(sub, i + 2);
+      // slot 0 becomes the fresh single-triangle segment.  Bound by the
+      // ALLOCATED window (win = min(sub, len)), not by sub: a chunk
+      // shorter than sub allocates only len slots.
+      const int64_t wlim = std::min(win, i + 2);
       for (int64_t k = wlim - 1; k >= 1; --k) {
         std::copy_n(lo.data() + (k - 1) * 3, 3, lo.data() + k * 3);
         std::copy_n(hi.data() + (k - 1) * 3, 3, hi.data() + k * 3);

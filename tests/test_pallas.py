@@ -950,3 +950,36 @@ def test_quad_precomputed_coeffs_match(big_scene_rays):
         coeffs_pre=co, center_pre=ce, interpret=True,
     )
     np.testing.assert_array_equal(np.asarray(o1), np.asarray(o0))
+
+
+def test_quad_padded_rows_vs_brute(big_scene_rays):
+    """Quad-vs-brute parity on a tri count that is NOT a multiple of the
+    cull-cluster size (300 tris -> 20 zero-padded coefficient rows).
+
+    Regression test: zero-padding the COEFFICIENT rows (instead of padding
+    tri_packed with degenerate triangles) zeroes the q4 eps plane, and the
+    inclusive >= 0 edge rule then accepts every pad row as a hit at t = 0 —
+    all closest hits collapse to NULL and every segment reads occluded."""
+    tri_packed, ray_o, ray_d = big_scene_rays
+    assert tri_packed.shape[0] % 64 != 0  # fixture must exercise pad rows
+    cb = _make_cluster_bounds(tri_packed)
+    p0, d0, _ = trv.intersect_brute(tri_packed, ray_o, ray_d)
+    for kw in ({}, {"cluster_bounds": cb}):
+        p1, d1 = intersect_quad_pallas(
+            tri_packed, ray_o, ray_d, interpret=True, **kw
+        )
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(p0))
+        hits = np.asarray(p0) >= 0
+        assert hits.mean() > 0.3
+        np.testing.assert_allclose(
+            np.asarray(d1)[hits], np.asarray(d0)[hits], rtol=3e-2
+        )
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.uniform(-6, 6, size=(256, 3)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(-6, 6, size=(256, 3)).astype(np.float32))
+    o0 = trv.occlusion_brute(tri_packed, x, y)
+    assert 0.05 < np.asarray(o0).mean() < 0.95
+    for kw in ({}, {"cluster_bounds": cb}):
+        o1 = occlusion_quad_pallas(tri_packed, x, y, interpret=True, **kw)
+        np.testing.assert_array_equal(np.asarray(o1), np.asarray(o0))
