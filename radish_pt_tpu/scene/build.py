@@ -49,8 +49,18 @@ def _sweep_coeff_fields(intersector: str, tri_packed_np: np.ndarray,
     except RuntimeError:
         ctx = contextlib.nullcontext()
     with ctx:
-        return _sweep_coeff_fields_impl(intersector, tri_packed_np,
-                                        cluster_sub)
+        fields = _sweep_coeff_fields_impl(intersector, tri_packed_np,
+                                          cluster_sub)
+    # The CPU-built arrays come out COMMITTED to the CPU backend.  Move
+    # them to the default (accelerator) device ONCE here: left committed
+    # to CPU, every jitted frame re-uploads the coefficient planes
+    # (~60 MB at 111k tris) through the tunnel — measured +300 ms/frame
+    # at teapot_hires, the round-3 644 -> 950 ms regression.
+    accel = jax.devices()[0]
+    if accel.platform != "cpu":
+        fields = {k: (jax.device_put(v, accel) if v is not None else None)
+                  for k, v in fields.items()}
+    return fields
 
 
 def _sweep_coeff_fields_impl(intersector: str, tri_packed_np: np.ndarray,
