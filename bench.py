@@ -36,15 +36,39 @@ def _sync(out):
     return float(np.asarray(leaf.reshape(-1)[0]))
 
 
-def _time_frames(step_fn, n_warmup: int = 2, n_iter: int = 8):
+def _time_frames(step_fn, n_warmup: int = 2, n_iter: int = 8, reps: int = 3):
+    """Median of ``reps`` timed blocks (each ``n_iter`` frames, one fetch
+    sync at the end).  One warmup pass, then independent repetitions so
+    tunnel drift between blocks is visible as spread, not silently folded
+    into the mean.  Returns (median_ms, min_ms, max_ms)."""
     for i in range(n_warmup):
         _sync(step_fn(i))
-    t0 = time.perf_counter()
-    out = None
-    for i in range(n_iter):
-        out = step_fn(n_warmup + i)
-    _sync(out)
-    return (time.perf_counter() - t0) / n_iter * 1e3
+    samples = []
+    k = n_warmup
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n_iter):
+            out = step_fn(k)
+            k += 1
+        _sync(out)
+        samples.append((time.perf_counter() - t0) / n_iter * 1e3)
+    samples.sort()
+    return samples[len(samples) // 2], samples[0], samples[-1]
+
+
+def _retry(fn, log, what: str, attempts: int = 2):
+    """Run ``fn``; on failure retry once (tunnel transport errors are
+    transient — a single aborted probe must not hole the bench)."""
+    for a in range(attempts):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001
+            if a + 1 == attempts:
+                raise
+            log(f"[{what}] attempt {a + 1} failed "
+                f"({type(e).__name__}: {e}); retrying")
+    raise AssertionError("unreachable")
 
 
 def bench(quick: bool = False, verbose: bool = True, only: list | None = None):
@@ -91,7 +115,10 @@ def bench(quick: bool = False, verbose: bool = True, only: list | None = None):
                 lambda ds, cam, looper: pt.path_trace(ds, cam, looper, depth)
             )
             n_iter = 4 if name == "teapot_hires" else 8
-            ms = _time_frames(lambda i: fn(ds, cam, i), n_iter=n_iter)
+            ms, ms_lo, ms_hi = _retry(
+                lambda: _time_frames(lambda i: fn(ds, cam, i), n_iter=n_iter),
+                log, name,
+            )
         except Exception as e:  # noqa: BLE001
             log(f"[{name}] FAILED: {type(e).__name__}: {e}")
             results[f"{name}_error"] = f"{type(e).__name__}: {e}"[:200]
@@ -100,8 +127,10 @@ def bench(quick: bool = False, verbose: bool = True, only: list | None = None):
         # count the *primary* figure like the reference's per-frame quote
         mrays = n_rays_primary * (1 + 2 * depth) / (ms * 1e-3) / 1e6
         results[f"{name}_pt_ms"] = round(ms, 3)
+        results[f"{name}_pt_ms_spread"] = [round(ms_lo, 3), round(ms_hi, 3)]
         results[f"{name}_pt_mrays"] = round(mrays, 2)
-        log(f"[{name}] full PT {res}x{res} depth={depth}: {ms:.2f} ms/frame, {mrays:.1f} Mrays/s")
+        log(f"[{name}] full PT {res}x{res} depth={depth}: {ms:.2f} ms/frame "
+            f"(min {ms_lo:.2f} / max {ms_hi:.2f}), {mrays:.1f} Mrays/s")
 
         # utilization accounting (the MFU analogue): swept-pair throughput
         # vs the measured VPU/MXU ceilings + cull efficiency vs the per-ray
@@ -109,7 +138,8 @@ def bench(quick: bool = False, verbose: bool = True, only: list | None = None):
         try:
             from radish_pt_tpu.utils import pairstats as ps
 
-            st = ps.frame_pair_stats(ds, cam, 1, depth)
+            st = _retry(lambda: ps.frame_pair_stats(ds, cam, 1, depth),
+                        log, f"{name} util")
             if st is not None:
                 util = ps.utilization(st, ms)
                 results[f"{name}_gpairs_per_s"] = util["gpairs_per_s"]
@@ -148,12 +178,19 @@ def bench(quick: bool = False, verbose: bool = True, only: list | None = None):
                 pstate.update(direct=d, indirect=ind)
                 return d
 
-            ms_pb = _time_frames(
-                pt_batched_step, n_warmup=1, n_iter=2 if quick else 4
-            ) / block
+            ms_pb, pb_lo, pb_hi = _retry(
+                lambda: _time_frames(
+                    pt_batched_step, n_warmup=2, n_iter=2 if quick else 4
+                ),
+                log, f"{name} batched",
+            )
+            ms_pb, pb_lo, pb_hi = ms_pb / block, pb_lo / block, pb_hi / block
             results[f"{name}_pt_batched_ms"] = round(ms_pb, 3)
+            results[f"{name}_pt_batched_ms_spread"] = [
+                round(pb_lo, 3), round(pb_hi, 3)
+            ]
             log(f"[{name}] full PT steady-state (batched x{block}): "
-                f"{ms_pb:.2f} ms/spp")
+                f"{ms_pb:.2f} ms/spp (min {pb_lo:.2f} / max {pb_hi:.2f})")
         except Exception as e:  # noqa: BLE001
             log(f"[{name} batched] FAILED: {type(e).__name__}: {e}")
             results[f"{name}_batched_error"] = f"{type(e).__name__}: {e}"[:200]
@@ -186,7 +223,12 @@ def bench(quick: bool = False, verbose: bool = True, only: list | None = None):
                 state["first"] = False
                 return d
 
-            ms_r = _time_frames(restir_step, n_warmup=2, n_iter=4 if quick else 8)
+            ms_r, _, _ = _retry(
+                lambda: _time_frames(
+                    restir_step, n_warmup=2, n_iter=4 if quick else 8
+                ),
+                log, "restir",
+            )
             results["restir_frame_ms"] = round(ms_r, 3)
             log(f"[cornell] ReSTIR frame (gbuffer + 32-candidate RIS + T+S reuse): {ms_r:.2f} ms")
 
@@ -222,9 +264,13 @@ def bench(quick: bool = False, verbose: bool = True, only: list | None = None):
                 bstate.update(res=r, direct=d, last=g.frame, first=False)
                 return d
 
-            ms_b = _time_frames(
-                restir_batched_step, n_warmup=1, n_iter=2 if quick else 4
-            ) / block
+            ms_b, _, _ = _retry(
+                lambda: _time_frames(
+                    restir_batched_step, n_warmup=2, n_iter=2 if quick else 4
+                ),
+                log, "restir batched",
+            )
+            ms_b = ms_b / block
             results["restir_batched_ms"] = round(ms_b, 3)
             log(f"[cornell] ReSTIR steady-state (batched x{block}): {ms_b:.2f} ms/frame")
           except Exception as e:  # noqa: BLE001
