@@ -436,6 +436,52 @@ def intersect_sorted(ds: DeviceScene, ray_o, ray_d, active=None) -> Interaction:
     )
 
 
+def intersect_compact(ds: DeviceScene, ray_o, ray_d, active, extras=()):
+    """Extension-pass closest hit that RETURNS THE SORTED ORDER — the
+    wavefront-compaction primitive behind the tiered bounce loop
+    (render/pathtrace.py).
+
+    Like :func:`intersect_sorted`, rays sort by the cluster-signature key
+    with dead lanes pushed to the back — but there is NO inverse
+    permutation: the caller keeps its whole carry in the sorted order, so
+    the live lanes occupy a contiguous prefix of length ``sum(active)``
+    and the next bounce can statically slice a smaller capacity.
+    ``extras``: tuple of f32/i32 [N] columns to carry through the forward
+    sort (per-lane state that must follow its ray).
+
+    Returns ``(it, o_sorted, d_sorted, act_sorted, extras_sorted)`` — all
+    in sorted order; ``it.prim_id`` is NULL on dead lanes.
+    """
+    n = ray_o.shape[0]
+    key = _sort_key(ds, ray_o, ray_d) + jnp.where(active, 0, _DEAD_KEY_BIT)
+    ops = (key,
+           ray_o[:, 0], ray_o[:, 1], ray_o[:, 2],
+           ray_d[:, 0], ray_d[:, 1], ray_d[:, 2]) + tuple(extras)
+    s = jax.lax.sort(ops, num_keys=1)
+    o_s = jnp.stack(s[1:4], axis=-1)
+    d_s = jnp.stack(s[4:7], axis=-1)
+    extras_s = s[7:]
+    act_s = s[0] < _DEAD_KEY_BIT
+
+    if ds.intersector in MXU_ENGINES:
+        from ..accel.pallas_kernels import FLT_MAX
+
+        isect, _, tuning = _mxu_engines(ds)
+        tmax = jnp.where(act_s, FLT_MAX, -FLT_MAX)
+        prim, _ = isect(
+            ds.tri_packed, o_s, d_s,
+            tri_order=ds.tri_order, cluster_bounds=ds.cluster_bounds,
+            tmax=tmax, **tuning,
+        )
+        prim = jnp.where(act_s, prim, -1)
+        pos, norm, uv, mat_id = surface_info_from_t(ds, prim, o_s, d_s)
+        it = Interaction(prim_id=prim, mat_id=mat_id, pos=pos, norm=norm,
+                         uv=uv)
+    else:
+        it = intersect(ds, o_s, d_s, active=act_s)
+    return it, o_s, d_s, act_s, extras_s
+
+
 _DEAD_KEY_BIT = 1 << 24  # above all live sort-key bits
 # the signature prepass is an [N, C] slab test; big scenes COARSEN the key
 # clusters (repeated pairing) to stay under this bound instead of falling

@@ -181,3 +181,31 @@ def test_odd_resolution_renders(cornell):
         img = r.step()
         assert img.shape == (29, 37, 3)
         assert np.isfinite(img).all()
+
+
+@pytest.mark.slow
+def test_compact_loop_matches_dense(monkeypatch):
+    """The tiered compact bounce loop (wavefront compaction via the
+    extension signature sort + lax.switch capacity tiers) must produce
+    BITWISE-identical images to the dense masked loop: RNG stays in
+    lockstep (shared scalar ptr; per-lane scramble rides the sorts) and
+    per-lane accumulation order is unchanged."""
+    import os
+
+    from radish_pt_tpu.scene.build import load_scene
+
+    scenes = os.path.join(os.path.dirname(__file__), "..", "scenes")
+    ds, cam, _ = load_scene(os.path.join(scenes, "teapot.txt"))
+    assert ds.cluster_bounds is not None  # compaction only engages with cull clusters
+    cam = cam.replace(width=48, height=48)
+
+    # separate jit instances: the env flag is read at TRACE time, so a
+    # shared cache would silently reuse the first compilation
+    monkeypatch.setenv("RADISH_COMPACT", "0")
+    d0, i0 = jax.jit(pt.path_trace, static_argnames=("max_depth",))(
+        ds, cam, 5, 3)
+    monkeypatch.setenv("RADISH_COMPACT", "4,1")
+    d1, i1 = jax.jit(pt.path_trace, static_argnames=("max_depth",))(
+        ds, cam, 5, 3)
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d0))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))
