@@ -2105,19 +2105,22 @@ MAX_LANES_PER_LAUNCH = 1 << 20
 def cluster_sub_for(num_tris: int) -> int:
     """Per-scene culling-cluster size for the SCAN-tier engines.
 
-    Swept on-chip (round 3, tools/cluster_sweep.py, 800^2 depth-5 frames):
-    cluster size trades per-op fixed cost (grid steps, branches, M-stream
-    latency) against row-union pair waste, and the optimum GROWS with
-    scene size: teapot(4.9k) 151 ms @128 vs 157 @64; glass(7.9k) 245 @64
-    vs 252 @128; teapot_hires(111k) 644 @512 vs 786 @64 (-18%).  Default
-    64; big scan-tier scenes get 512; RADISH_CLUSTER_SUB overrides (the
-    compact/band engines keep the fixed 64-tri granularity their SMEM
-    mask/work-list formats assume)."""
+    Swept on-chip (rounds 3-4, tools/cluster_sweep.py, 800^2 depth-5
+    frames, compact bounce loop): cluster size trades per-op fixed cost
+    (grid steps, branches, M-stream latency) against row-union pair
+    waste.  Round-4 winners: teapot(4.9k) 123 ms @128 vs 128 @64 / 156
+    @256; glass(7.9k) 178 @64 vs 188 @128; teapot_hires(112k) 502 @512
+    vs 530 @256.  Pinned: 128 up to ~6k tris, 64 for mid scenes, 512 for
+    big scan-tier scenes; RADISH_CLUSTER_SUB overrides (the compact/band
+    engines keep the fixed 64-tri granularity their SMEM mask/work-list
+    formats assume)."""
     env = os.environ.get("RADISH_CLUSTER_SUB")
     if env:
         return int(env)
     if BIG_SCENE_TRIS < num_tris <= PALLAS_MXU_MAX_TRIS:
         return 512
+    if num_tris <= 6144:
+        return 128
     return CLUSTER_SUB
 
 

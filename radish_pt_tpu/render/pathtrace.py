@@ -345,6 +345,10 @@ def _ext_and_fetch(ds, pos, new_dir, pdf, delta_sample, active,
     ``(lane, scramble, active, throughput, acc, pos, norm, dir, mat)``.
     """
     ray_o = pos + new_dir * 1e-5
+    # NOTE (measured dead end): pre-shading "sure miss" rays whose
+    # signature flags no cluster catches 0.0% of real misses — every
+    # bounce ray starts inside its origin cluster's AABB, so the slab
+    # test always flags at least one cluster.
     # lane ids are non-negative: pack the delta-BSDF flag in bit 0 so the
     # flag rides the sort without its own payload column
     lane_pk = (lane << 1) | delta_sample.astype(jnp.int32)

@@ -436,7 +436,8 @@ def intersect_sorted(ds: DeviceScene, ray_o, ray_d, active=None) -> Interaction:
     )
 
 
-def intersect_compact(ds: DeviceScene, ray_o, ray_d, active, extras=()):
+def intersect_compact(ds: DeviceScene, ray_o, ray_d, active, extras=(),
+                      key=None):
     """Extension-pass closest hit that RETURNS THE SORTED ORDER — the
     wavefront-compaction primitive behind the tiered bounce loop
     (render/pathtrace.py).
@@ -453,7 +454,9 @@ def intersect_compact(ds: DeviceScene, ray_o, ray_d, active, extras=()):
     in sorted order; ``it.prim_id`` is NULL on dead lanes.
     """
     n = ray_o.shape[0]
-    key = _sort_key(ds, ray_o, ray_d) + jnp.where(active, 0, _DEAD_KEY_BIT)
+    if key is None:
+        key = _sort_key(ds, ray_o, ray_d)
+    key = key + jnp.where(active, 0, _DEAD_KEY_BIT)
     ops = (key,
            ray_o[:, 0], ray_o[:, 1], ray_o[:, 2],
            ray_d[:, 0], ray_d[:, 1], ray_d[:, 2]) + tuple(extras)
@@ -491,7 +494,21 @@ _DEAD_KEY_BIT = 1 << 24  # above all live sort-key bits
 _SIGNATURE_MAX_CLUSTERS = 256
 
 
-def _sort_key(ds: DeviceScene, ray_o, ray_d, tmax=None):
+def sort_key_and_miss(ds: DeviceScene, ray_o, ray_d):
+    """Coherence sort key + conservative SURE-MISS mask.
+
+    A ray whose signature slab test flags NO cluster cannot hit any
+    triangle (the test is conservative), so the compact bounce loop can
+    shade its env contribution BEFORE the extension sort and mark it dead
+    in the key — open scenes then compact one bounce earlier (most deaths
+    are escapes).  Geometric-key fallback returns an all-False mask."""
+    out = _sort_key(ds, ray_o, ray_d, return_nohit=True)
+    if isinstance(out, tuple):
+        return out
+    return out, jnp.zeros(ray_o.shape[0], bool)
+
+
+def _sort_key(ds: DeviceScene, ray_o, ray_d, tmax=None, return_nohit=False):
     """Wavefront coherence sort key.
 
     Preferred form: the ray's CLUSTER SIGNATURE — (first flagged
@@ -551,7 +568,9 @@ def _sort_key(ds: DeviceScene, ray_o, ray_d, tmax=None):
             # signature, segregating the fat tail (p99 ~45-71 flags) into
             # its own rows so per-band max counts stay near the mean —
             # hires bounce-1 max-band(G16) 24.9 -> 20.7 (tools/band_stats.py)
-            return (cnt.astype(jnp.int32) << 18) | sig
+            sig = (cnt.astype(jnp.int32) << 18) | sig
+        if return_nohit:
+            return sig, ~any_hit
         return sig
 
     lo = cb[:, 0:3].min(axis=0)
