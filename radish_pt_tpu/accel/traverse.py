@@ -386,7 +386,7 @@ def _pending_walk_block(leaf_tris, bvh_packed, size, consts, state, iters):
         return node, pending, c_dist
 
     node, c_slot, c_dist, c_bx, c_by = state
-    pending = jnp.full_like(node, -1)
+    pending = node * 0 - 1  # inherits the carry's varying axes
     node, pending, c_dist = jax.lax.fori_loop(
         0, iters, lambda i, s: node_step(s), (node, pending, c_dist)
     )
@@ -417,13 +417,12 @@ def intersect_bvh(leaf_tris, leaf_map, bvh_packed, ray_o, ray_d):
     n = ray_o.shape[0]
     consts = _ray_consts(bvh_packed, ray_o, ray_d)
 
-    init = (
-        jnp.zeros((n,), jnp.int32),
-        jnp.full((n,), -1, jnp.int32),
-        jnp.full((n,), FLT_MAX),
-        jnp.zeros((n,), jnp.float32),
-        jnp.zeros((n,), jnp.float32),
-    )
+    # derive the carry from ray state so it inherits shard_map varying
+    # axes (fresh constants would be replicated and fail the fori/scan
+    # carry variance check — same pattern as render/pathtrace.py)
+    zf = ray_o[:, 0] * 0.0
+    zi = zf.astype(jnp.int32)
+    init = (zi, zi - 1, zf + FLT_MAX, zf, zf)
 
     def step(s):
         return _walk_step(leaf_tris, bvh_packed, size, consts, s)
@@ -539,7 +538,9 @@ def occlusion_bvh(leaf_tris, leaf_map, bvh_packed, x, y):
         node = jnp.where(blocked, size, node)
         return node, blocked
 
-    state = (jnp.zeros((n,), jnp.int32), jnp.zeros((n,), bool))
+    # carry derived from ray state: inherits shard_map varying axes
+    zi = (x[:, 0] * 0.0).astype(jnp.int32)
+    state = (zi, zi.astype(bool))
     for _ in range(PHASE1_ITERS // FLUSH_EVERY):
         state = occ_block(state, FLUSH_EVERY)
 
