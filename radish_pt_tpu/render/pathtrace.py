@@ -140,12 +140,13 @@ def _compact_divs():
         return None
     if env:
         return tuple(int(x) for x in env.split(","))
-    # Three tiers, not five: each lax.switch branch adds ~33 s of TPU
+    # Four tiers, not five: each lax.switch branch adds ~33 s of TPU
     # compile to every frame-shaped jit (measured: 292 s at 1 tier,
-    # 423 s at 5), and the (8,2,1) schedule gives up only one halving on
-    # one bounce vs (16,8,4,2,1) for the measured liveness curves
-    # (teapot bounces run N, N/2, N/2, N/8 instead of N, N/2, N/4, N/8).
-    return (8, 2, 1) if jax.default_backend() == "tpu" else (4, 1)
+    # 423 s at 5; the closure-form teapot frame compiles in ~380 s at 3
+    # tiers).  (8,2,1) was measured 12 ms slower on glass (bounces 3-4
+    # ran N/2 instead of N/4), so the N/4 rung stays; the N/16 rung is
+    # worth <1 ms on the measured liveness curves and one less branch.
+    return (8, 4, 2, 1) if jax.default_backend() == "tpu" else (4, 1)
 
 
 def path_trace(

@@ -19,6 +19,8 @@ Conventions:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from flax import struct
 
@@ -492,6 +494,10 @@ _DEAD_KEY_BIT = 1 << 24  # above all live sort-key bits
 # is 54 clusters vs a 5.4 per-ray floor because pinhole primaries collapse
 # to ONE (octant, origin-cell) bucket (tools/bounce_stats.py)
 _SIGNATURE_MAX_CLUSTERS = 256
+# skip the forced key pairing when the scene already has few clusters —
+# below this count the [N, C] prepass is cheap and the tighter key
+# (kernel-granularity signatures) wins; RADISH_SIG_PAIR_MIN overrides
+_SIGNATURE_PAIR_MIN = 64
 
 
 def sort_key_and_miss(ds: DeviceScene, ray_o, ray_d):
@@ -528,11 +534,16 @@ def _sort_key(ds: DeviceScene, ray_o, ray_d, tmax=None, return_nohit=False):
     half the [N, C] slab-prepass cost."""
     cb = ds.cluster_bounds
     # pair-reduce (64-tri clusters -> 128-tri super-clusters -> ...) until
-    # the [N, C] signature prepass is affordable; measured cull quality is
-    # insensitive to one pairing (BASELINE.md) and big scenes keep a usable
-    # signature instead of the degenerate geometric key
+    # the [N, C] signature prepass is affordable.  One forced pairing was
+    # measured quality-neutral at 64-tri clusters with C~78-1700
+    # (BASELINE.md round 1); at the round-4 per-scene cluster sizes
+    # (128/512 tris) C is already small, so the key keeps the KERNEL's
+    # mask granularity unless the prepass would exceed the budget.
+    pair_min = int(os.environ.get("RADISH_SIG_PAIR_MIN",
+                                  _SIGNATURE_PAIR_MIN))
     while cb.shape[0] > 1 and (
-        cb.shape[0] > _SIGNATURE_MAX_CLUSTERS or cb is ds.cluster_bounds
+        cb.shape[0] > _SIGNATURE_MAX_CLUSTERS
+        or (cb is ds.cluster_bounds and cb.shape[0] > pair_min)
     ):
         pad = cb.shape[0] % 2
         cbp = jnp.pad(cb, ((0, pad), (0, 0)),
