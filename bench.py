@@ -7,7 +7,15 @@ teapot); ReSTIR frame time".  The reference publishes no numbers
 target of 33.3 ms/frame (30 fps) at 800x800 — the bar the reference's
 ImGui-driven interactive loop implicitly sets.
 
-Run: python bench.py [--quick] [--json-only]
+INCREMENTAL EMISSION: the running JSON line is re-printed after every
+completed measurement, so a driver timeout mid-run still leaves the last
+printed line parseable with every finished number (round-4 lesson:
+`BENCH_r04.json` rc=124 lost glass/hires/many_light because the old
+harness printed once at the very end).  Scenes run least-driver-verified
+first (glass, teapot_hires, many_light) so their claims land even in a
+short window.
+
+Run: python bench.py [--quick] [--json-only] [--scenes ...]
 """
 
 from __future__ import annotations
@@ -34,6 +42,10 @@ MEAN_GOLDEN = {
     "teapot_hires": 0.43550,
     "many_light": 0.17366,
 }
+
+# least-driver-verified scenes first: a timeout then still captures the
+# claims that most need confirmation (VERDICT r4 #1)
+SCENE_ORDER = ("glass", "teapot_hires", "many_light", "teapot", "cornell")
 
 
 def _sync(out):
@@ -73,7 +85,9 @@ def _time_frames(step_fn, n_warmup: int = 2, n_iter: int = 8, reps: int = 3):
 
 def _retry(fn, log, what: str, attempts: int = 2):
     """Run ``fn``; on failure retry once (tunnel transport errors are
-    transient — a single aborted probe must not hole the bench)."""
+    transient — a single aborted probe must not hole the bench).  ``fn``
+    must be self-contained: any donated buffers are rebuilt inside it so a
+    retry never re-dispatches already-deleted arrays (ADVICE r4)."""
     for a in range(attempts):
         try:
             return fn()
@@ -85,7 +99,8 @@ def _retry(fn, log, what: str, attempts: int = 2):
     raise AssertionError("unreachable")
 
 
-def bench(quick: bool = False, verbose: bool = True, only: list | None = None):
+def bench(quick: bool = False, verbose: bool = True, only: list | None = None,
+          emit=None):
     import jax
 
     from radish_pt_tpu.utils.cache import enable_persistent_cache
@@ -107,17 +122,24 @@ def bench(quick: bool = False, verbose: bool = True, only: list | None = None):
         if verbose:
             print(msg, file=sys.stderr)
 
-    scenes = [("cornell", os.path.join(REPO, "scenes", "cornell_box.txt"))]
-    for extra in ("teapot", "glass", "many_light", "teapot_hires"):
-        path = os.path.join(REPO, "scenes", f"{extra}.txt")
+    def checkpoint():
+        """Re-print the running JSON line (see module docstring)."""
+        if emit is not None:
+            emit(results, res)
+
+    scenes = []
+    for nm in SCENE_ORDER:
+        fname = "cornell_box.txt" if nm == "cornell" else f"{nm}.txt"
+        path = os.path.join(REPO, "scenes", fname)
         if os.path.exists(path):
-            scenes.append((extra, path))
+            scenes.append((nm, path))
     if quick:
-        scenes = scenes[:2]
+        scenes = [(n, p) for n, p in scenes if n in ("cornell", "teapot")]
     if only:
         scenes = [(n, p) for n, p in scenes if n in only]
 
     for name, path in scenes:
+        t_scene = time.perf_counter()
         # one failing config must not zero the whole bench (the driver
         # records this output verbatim)
         try:
@@ -131,14 +153,20 @@ def bench(quick: bool = False, verbose: bool = True, only: list | None = None):
             # cache key with the warmup tools, so a driver run after a
             # warmed build starts from cache hits.
             fn = jax.jit(lambda looper: pt.path_trace(ds, cam, looper, depth))
-            n_iter = 4 if name == "teapot_hires" else 8
+            big = name == "teapot_hires"
             ms, ms_lo, ms_hi = _retry(
-                lambda: _time_frames(lambda i: fn(i), n_iter=n_iter),
+                lambda: _time_frames(
+                    lambda i: fn(i),
+                    n_warmup=1 if big else 2,
+                    n_iter=2 if big else 8,
+                    reps=2 if big else 3,
+                ),
                 log, name,
             )
         except Exception as e:  # noqa: BLE001
             log(f"[{name}] FAILED: {type(e).__name__}: {e}")
             results[f"{name}_error"] = f"{type(e).__name__}: {e}"[:200]
+            checkpoint()
             continue
         # rays per frame: primary + per-bounce (extension + shadow) upper bound
         # count the *primary* figure like the reference's per-frame quote
@@ -148,6 +176,7 @@ def bench(quick: bool = False, verbose: bool = True, only: list | None = None):
         results[f"{name}_pt_mrays"] = round(mrays, 2)
         log(f"[{name}] full PT {res}x{res} depth={depth}: {ms:.2f} ms/frame "
             f"(min {ms_lo:.2f} / max {ms_hi:.2f}), {mrays:.1f} Mrays/s")
+        checkpoint()
 
         if not quick and res == 800:
             try:
@@ -163,6 +192,7 @@ def bench(quick: bool = False, verbose: bool = True, only: list | None = None):
                         f"drifted from golden {gold:.5f}")
             except Exception as e:  # noqa: BLE001
                 log(f"[{name} mean] skipped: {type(e).__name__}: {e}")
+            checkpoint()
 
         # utilization accounting (the MFU analogue): swept-pair throughput
         # vs the measured VPU/MXU ceilings + cull efficiency vs the per-ray
@@ -184,13 +214,12 @@ def bench(quick: bool = False, verbose: bool = True, only: list | None = None):
                     f"of per-ray floor")
         except Exception as e:  # noqa: BLE001
             log(f"[{name} util] skipped: {type(e).__name__}: {e}")
+        checkpoint()
 
         # batched steady state: block spp per dispatch (fori_loop in one
         # jit) — the per-frame cost without the ~20 ms tunnel dispatch RTT,
         # i.e. the honest analogue of the reference's on-GPU kernel timing
         try:
-            from functools import partial as _partial
-
             from radish_pt_tpu.render.renderer import _pt_batch
 
             block = 2 if name == "teapot_hires" else 4
@@ -204,23 +233,28 @@ def bench(quick: bool = False, verbose: bool = True, only: list | None = None):
                 donate_argnums=(1, 2),
             )
             n = res * res
-            pstate = {
-                "direct": jnp.zeros((n, 3), jnp.float32),
-                "indirect": jnp.zeros((n, 3), jnp.float32),
-            }
 
-            def pt_batched_step(i):
-                d, ind = bfn(i * block,
-                             pstate["direct"], pstate["indirect"], i * block)
-                pstate.update(direct=d, indirect=ind)
-                return d
+            def run_batched():
+                # fresh buffers per attempt: donation consumes them, so a
+                # retry after a mid-dispatch failure must not reuse
+                # already-deleted arrays (ADVICE r4)
+                pstate = {
+                    "direct": jnp.zeros((n, 3), jnp.float32),
+                    "indirect": jnp.zeros((n, 3), jnp.float32),
+                }
 
-            ms_pb, pb_lo, pb_hi = _retry(
-                lambda: _time_frames(
-                    pt_batched_step, n_warmup=2, n_iter=2 if quick else 4
-                ),
-                log, f"{name} batched",
-            )
+                def pt_batched_step(i):
+                    d, ind = bfn(i * block, pstate["direct"],
+                                 pstate["indirect"], i * block)
+                    pstate.update(direct=d, indirect=ind)
+                    return d
+
+                return _time_frames(
+                    pt_batched_step, n_warmup=1,
+                    n_iter=2 if (quick or name == "teapot_hires") else 4,
+                )
+
+            ms_pb, pb_lo, pb_hi = _retry(run_batched, log, f"{name} batched")
             ms_pb, pb_lo, pb_hi = ms_pb / block, pb_lo / block, pb_hi / block
             results[f"{name}_pt_batched_ms"] = round(ms_pb, 3)
             results[f"{name}_pt_batched_ms_spread"] = [
@@ -231,6 +265,7 @@ def bench(quick: bool = False, verbose: bool = True, only: list | None = None):
         except Exception as e:  # noqa: BLE001
             log(f"[{name} batched] FAILED: {type(e).__name__}: {e}")
             results[f"{name}_batched_error"] = f"{type(e).__name__}: {e}"[:200]
+        checkpoint()
 
         # ReSTIR frame (gbuffer + restir kernel), cornell only
         if name == "cornell":
@@ -268,6 +303,7 @@ def bench(quick: bool = False, verbose: bool = True, only: list | None = None):
             )
             results["restir_frame_ms"] = round(ms_r, 3)
             log(f"[cornell] ReSTIR frame (gbuffer + 32-candidate RIS + T+S reuse): {ms_r:.2f} ms")
+            checkpoint()
 
             # steady-state batched ReSTIR: 8 frames per dispatch with carried
             # reservoir state (render/renderer.py::_restir_batch) — the
@@ -286,43 +322,58 @@ def bench(quick: bool = False, verbose: bool = True, only: list | None = None):
                 ),
                 donate_argnums=(7,),
             )
-            bstate = {
-                "res": rs.empty_reservoir(n),
-                "direct": jnp.zeros((n, 3), jnp.float32),
-                "last": gbuf.frame,
-                "first": True,
-            }
 
-            def restir_batched_step(i):
-                d, r, g = bfn(
-                    ds, cam, cam, i * block, bstate["last"], bstate["res"],
-                    jnp.asarray(bstate["first"]), bstate["direct"], i * block,
-                )
-                bstate.update(res=r, direct=d, last=g.frame, first=False)
-                return d
+            def run_restir_batched():
+                # fresh donated buffer per attempt (see run_batched)
+                bstate = {
+                    "res": rs.empty_reservoir(n),
+                    "direct": jnp.zeros((n, 3), jnp.float32),
+                    "last": gbuf.frame,
+                    "first": True,
+                }
 
-            ms_b, _, _ = _retry(
-                lambda: _time_frames(
+                def restir_batched_step(i):
+                    d, r, g = bfn(
+                        ds, cam, cam, i * block, bstate["last"],
+                        bstate["res"], jnp.asarray(bstate["first"]),
+                        bstate["direct"], i * block,
+                    )
+                    bstate.update(res=r, direct=d, last=g.frame, first=False)
+                    return d
+
+                return _time_frames(
                     restir_batched_step, n_warmup=2, n_iter=2 if quick else 4
-                ),
-                log, "restir batched",
-            )
+                )
+
+            ms_b, _, _ = _retry(run_restir_batched, log, "restir batched")
             ms_b = ms_b / block
             results["restir_batched_ms"] = round(ms_b, 3)
             log(f"[cornell] ReSTIR steady-state (batched x{block}): {ms_b:.2f} ms/frame")
           except Exception as e:  # noqa: BLE001
             log(f"[cornell restir] FAILED: {type(e).__name__}: {e}")
             results["restir_error"] = f"{type(e).__name__}: {e}"[:200]
+          checkpoint()
+        log(f"[{name}] scene total {time.perf_counter() - t_scene:.0f} s")
 
-    primary = results.get("teapot_pt_ms", results.get("cornell_pt_ms", 0.0))
+    return results, res
+
+
+def _pack(results, res, backend=None):
+    """Assemble the driver JSON from the running results dict."""
+    primary = 0.0
+    for k in ("teapot_pt_ms", "glass_pt_ms", "cornell_pt_ms",
+              "teapot_hires_pt_ms", "many_light_pt_ms"):
+        if results.get(k):
+            primary = results[k]
+            break
     return {
-        "metric": "ms/frame full-MIS PT 800x800 1spp depth5 (teapot if present else cornell)",
+        "metric": "ms/frame full-MIS PT 800x800 1spp depth5 (teapot if present else glass/cornell)",
         "value": primary,
         "unit": "ms",
         "vs_baseline": round(BASELINE_TARGET_MS / primary, 3) if primary else 0.0,
-        "detail": results,
+        "detail": dict(results),
         "resolution": res,
-        "backend": None,
+        "backend": backend,
     }
 
 
@@ -336,9 +387,14 @@ def main():
 
     import jax
 
-    out = bench(quick=args.quick, verbose=not args.json_only, only=args.scenes)
-    out["backend"] = jax.devices()[0].platform
-    print(json.dumps(out))
+    backend = jax.devices()[0].platform
+
+    def emit(results, res):
+        print(json.dumps(_pack(results, res, backend)), flush=True)
+
+    results, res = bench(quick=args.quick, verbose=not args.json_only,
+                         only=args.scenes, emit=emit)
+    print(json.dumps(_pack(results, res, backend)), flush=True)
 
 
 if __name__ == "__main__":

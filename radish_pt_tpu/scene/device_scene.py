@@ -500,21 +500,7 @@ _SIGNATURE_MAX_CLUSTERS = 256
 _SIGNATURE_PAIR_MIN = 64
 
 
-def sort_key_and_miss(ds: DeviceScene, ray_o, ray_d):
-    """Coherence sort key + conservative SURE-MISS mask.
-
-    A ray whose signature slab test flags NO cluster cannot hit any
-    triangle (the test is conservative), so the compact bounce loop can
-    shade its env contribution BEFORE the extension sort and mark it dead
-    in the key — open scenes then compact one bounce earlier (most deaths
-    are escapes).  Geometric-key fallback returns an all-False mask."""
-    out = _sort_key(ds, ray_o, ray_d, return_nohit=True)
-    if isinstance(out, tuple):
-        return out
-    return out, jnp.zeros(ray_o.shape[0], bool)
-
-
-def _sort_key(ds: DeviceScene, ray_o, ray_d, tmax=None, return_nohit=False):
+def _sort_key(ds: DeviceScene, ray_o, ray_d, tmax=None):
     """Wavefront coherence sort key.
 
     Preferred form: the ray's CLUSTER SIGNATURE — (first flagged
@@ -580,8 +566,6 @@ def _sort_key(ds: DeviceScene, ray_o, ray_d, tmax=None, return_nohit=False):
             # its own rows so per-band max counts stay near the mean —
             # hires bounce-1 max-band(G16) 24.9 -> 20.7 (tools/band_stats.py)
             sig = (cnt.astype(jnp.int32) << 18) | sig
-        if return_nohit:
-            return sig, ~any_hit
         return sig
 
     lo = cb[:, 0:3].min(axis=0)
