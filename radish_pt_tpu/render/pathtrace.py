@@ -130,23 +130,24 @@ def _light_visible_side(ds, norm, ray_d):
     return m.dot(norm, ray_d) < 0.0
 
 
-def _compact_divs():
-    """Capacity divisors for the tiered compact bounce loop, smallest
-    capacity first (``RADISH_COMPACT``: comma list overrides; ``0``
-    disables compaction entirely).  On CPU (tests) only two tiers compile
-    by default to keep interpret-mode suites fast."""
+def _compact_mode():
+    """Wavefront-compaction mode from ``RADISH_COMPACT``:
+
+    * unset      -> ``("slices", 8)`` on TPU / ``("slices", 4)`` on CPU —
+      the sliced bounce loop (:func:`_sliced_bounce_loop`).
+    * ``"0"``    -> ``None`` (dense masked loop).
+    * ``"<m>"``  -> ``("slices", m)``.
+    * ``"a,b"``  -> ``("tiers", (a, b, ...))`` — the round-4 tiered loop
+      (:func:`_compact_bounce_loop`), kept for A/B and regression tests.
+    """
     env = os.environ.get("RADISH_COMPACT", "")
     if env == "0":
         return None
+    if "," in env:
+        return ("tiers", tuple(int(x) for x in env.split(",")))
     if env:
-        return tuple(int(x) for x in env.split(","))
-    # Four tiers, not five: each lax.switch branch adds ~33 s of TPU
-    # compile to every frame-shaped jit (measured: 292 s at 1 tier,
-    # 423 s at 5; the closure-form teapot frame compiles in ~380 s at 3
-    # tiers).  (8,2,1) was measured 12 ms slower on glass (bounces 3-4
-    # ran N/2 instead of N/4), so the N/4 rung stays; the N/16 rung is
-    # worth <1 ms on the measured liveness curves and one less branch.
-    return (8, 4, 2, 1) if jax.default_backend() == "tpu" else (4, 1)
+        return ("slices", int(env))
+    return ("slices", 8 if jax.default_backend() == "tpu" else 4)
 
 
 def path_trace(
@@ -191,11 +192,14 @@ def path_trace(
     throughput = ray_d * 0.0 + 1.0
     pos = it.pos
 
-    divs = _compact_divs()
-    if divs is not None and ds.cluster_bounds is not None and max_depth >= 1:
-        direct, indirect = _compact_bounce_loop(
+    mode = _compact_mode()
+    if mode is not None and ds.cluster_bounds is not None and max_depth >= 1:
+        kind, arg = mode
+        loop = (_compact_bounce_loop if kind == "tiers"
+                else _sliced_bounce_loop)
+        direct, indirect = loop(
             ds, sampler, active, throughput, direct, indirect,
-            pos, norm, ray_d, mat, max_depth,
+            pos, norm, ray_d, mat, max_depth, arg,
         )
         if untile is not None:
             direct, indirect = untile(direct), untile(indirect)
@@ -405,7 +409,7 @@ def _ext_and_fetch(ds, pos, new_dir, pdf, delta_sample, active,
 
 
 def _compact_bounce_loop(ds, sampler, active, throughput, direct, indirect,
-                         pos, norm, ray_d, mat, max_depth):
+                         pos, norm, ray_d, mat, max_depth, divs):
     """Bounces with WAVEFRONT COMPACTION: the extension pass's signature
     sort (which already packs dead lanes to the back) doubles as a stream
     compactor, and each subsequent bounce processes only a static
@@ -431,7 +435,7 @@ def _compact_bounce_loop(ds, sampler, active, throughput, direct, indirect,
       each lane's scramble chain rides the sorts.
     """
     n = pos.shape[0]
-    ks = sorted({min(n, -(-n // d)) for d in _compact_divs()})
+    ks = sorted({min(n, -(-n // d)) for d in divs})
     if ks[-1] != n:
         ks.append(n)
 
@@ -505,6 +509,225 @@ def _compact_bounce_loop(ds, sampler, active, throughput, direct, indirect,
     # ---- deliver the compact accumulators to pixel order: the lane column
     # is a permutation of 0..n-1, so one 4-column sort is the exact inverse
     u = jax.lax.sort((lane, acc[:, 0], acc[:, 1], acc[:, 2]), num_keys=1)
+    indirect = indirect + jnp.stack(u[1:4], axis=-1)
+    return direct, indirect
+
+
+def _sliced_bounce_loop(ds, sampler, active, throughput, direct, indirect,
+                        pos, norm, ray_d, mat, max_depth, n_slices):
+    """Wavefront compaction via ONE global (dead | signature) sort per
+    bounce + a dynamic-trip-count loop over fixed-size slices — the
+    round-5 successor to the tiered :func:`_compact_bounce_loop`.
+
+    Per bounce, a single ``lax.sort`` both compacts (dead lanes carry the
+    high key bit and sink to the back) and signature-orders the PENDING
+    extension rays; the live prefix is then processed in ``ceil(valid/S)``
+    slices of ``S = ceil(n / n_slices)`` lanes by a ``while_loop`` whose
+    body does sweep -> env/emissive-hit accounting -> surface refetch ->
+    NEE -> BSDF-sample -> next sort key.  Versus the tiered loop this
+
+    * kills the TIER LAG: the sort runs at the start of the next bounce,
+      so post-sweep deaths (misses, emissive hits) are compacted before
+      any capacity decision — the round-4 design's tier was bounded by the
+      PRE-sweep live count, costing every scene one full-capacity bounce;
+    * compiles ONE slice body (all engines at shape [S]) instead of one
+      per ``lax.switch`` tier (~33 s of TPU compile each) — only the
+      cheap sort branches still switch over whole-slice capacities;
+    * quantizes capacity at S (n/8) instead of powers of two.
+
+    The winner id never crosses a sort: sweep and surface refetch happen
+    in the same slice, so the carry is 16 flat columns
+    ``(key, lane<<1|delta, scramble, throughput*3, acc*3, o*3, d*3,
+    bsdf_pdf)`` — the same 15 payload columns the tiered loop's extension
+    sort carried, now at post-sweep capacity.
+
+    Bitwise identical to the dense loop for every live lane: the scalar
+    RNG ptr advances 7/bounce in lockstep, each lane's scramble chain
+    rides the sorts, and slicing only freezes dead lanes (the lane column
+    stays a permutation of 0..n-1 for the final delivery sort).
+    """
+    n = pos.shape[0]
+    S = -(-n // n_slices)
+    n_slices = -(-n // S)
+    caps = []
+    c = 1
+    while c < n_slices:
+        caps.append(c * S)
+        c *= 2
+    caps.append(n)
+
+    # ---- peel bounce 1 (full wavefront; its NEE lands in `direct`) ----
+    wo = -ray_d
+    is_delta = mat.mtype == dsc.MAT_DIELECTRIC
+    flip = (~is_delta) & (m.dot(norm, wo) < 0.0)
+    norm = jnp.where(flip[..., None], -norm, norm)
+    contrib, sampler = _nee_contrib(ds, sampler, active, mat, norm, wo,
+                                    pos, throughput)
+    direct = direct + contrib
+    sampler, active, throughput, new_dir, pdf, delta = _bsdf_advance(
+        ds, sampler, active, mat, norm, wo, throughput
+    )
+    lane = jnp.arange(n, dtype=jnp.int32)
+    ray_o = pos + new_dir * 1e-5
+    key = dsc._sort_key(ds, ray_o, new_dir) + jnp.where(
+        active, 0, dsc._DEAD_KEY_BIT
+    )
+    # derive zeros from ray state so the fori carry inherits shard_map
+    # varying axes (fresh constants would be replicated and fail the
+    # carry variance check — same pattern as accel/traverse.py)
+    zero = throughput[:, 0] * 0.0
+    # scramble seeds from the pixel id only (tile-varying); XOR in a zero
+    # derived from the key so it matches the loop's (tile, sample) output
+    scr0 = sampler.scramble ^ (key * 0).astype(jnp.uint32)
+    cols = (
+        key, (lane << 1) | delta.astype(jnp.int32), scr0,
+        throughput[:, 0], throughput[:, 1], throughput[:, 2],
+        zero, zero, zero,  # acc
+        ray_o[:, 0], ray_o[:, 1], ray_o[:, 2],
+        new_dir[:, 0], new_dir[:, 1], new_dir[:, 2],
+        pdf,
+    )
+
+    cap_bounds = jnp.asarray(caps[:-1], jnp.int32)
+
+    def make_sort(cap):
+        def do_sort(cols):
+            s = jax.lax.sort(tuple(col[:cap] for col in cols), num_keys=1)
+            return tuple(f.at[:cap].set(p) for f, p in zip(cols, s))
+        return do_sort
+
+    sort_branches = [make_sort(c) for c in caps]
+
+    def sort_phase(m_prev, cols):
+        """Compact+order the live set (bounded by the previous bounce's
+        slice extent m_prev * S); returns (slice count, sorted cols)."""
+        tier = jnp.sum(cap_bounds < m_prev * S).astype(jnp.int32)
+        cols = jax.lax.switch(tier, sort_branches, cols)
+        valid = jnp.sum(cols[0] < dsc._DEAD_KEY_BIT).astype(jnp.int32)
+        return (valid + S - 1) // S, cols
+
+    def run_slices(base_ptr, n_live_slices, cols, with_nee):
+        def body(st):
+            j, cols = st
+            off = j * S
+            (key_s, lpk_s, scr_s, t0, t1, t2, a0, a1, a2,
+             o0, o1, o2, d0, d1, d2, pdf_s) = (
+                jax.lax.dynamic_slice_in_dim(col, off, S) for col in cols
+            )
+            act = key_s < dsc._DEAD_KEY_BIT
+            delta_s = (lpk_s & 1) != 0
+            o_s = jnp.stack([o0, o1, o2], axis=-1)
+            d_s = jnp.stack([d0, d1, d2], axis=-1)
+            thr = jnp.stack([t0, t1, t2], axis=-1)
+            acc = jnp.stack([a0, a1, a2], axis=-1)
+
+            # extension sweep (rays arrive globally signature-sorted)
+            prim, bary = dsc.intersect_ids(ds, o_s, d_s, act)
+            miss = act & (prim == NULL_PRIMITIVE)
+            if ds.has_env:
+                env_pdf = dsc.env_map_pdf(ds, d_s)
+                w_env = jnp.where(
+                    delta_s, 1.0, m.power_heuristic(pdf_s, env_pdf)
+                )
+                acc = acc + jnp.where(
+                    miss[..., None],
+                    dsc.env_radiance(ds, d_s) * thr * w_env[..., None],
+                    0.0,
+                )
+            act = act & ~miss
+
+            pos_s, nrm, uvi, mat_id = dsc.surface_from_ids(
+                ds, prim, bary, o_s, d_s
+            )
+            mat_s, nrm = dsc.get_textured_material(ds, mat_id, uvi, nrm)
+            hit_light = act & (mat_s.mtype == dsc.MAT_LIGHT)
+            light_vis = _light_visible_side(ds, nrm, d_s)
+            # prev_pos for the area->solid-angle pdf: undo the origin inset
+            # (~1e-12 residual, far below the pdf's own conditioning; the
+            # dense-parity claim is exact-to-ulp on light-hit MIS lanes)
+            lp_hit = dsc.area_light_hit_pdf(
+                ds, mat_s.base_color, o_s - d_s * 1e-5, pos_s, nrm
+            )
+            w_light = jnp.where(
+                delta_s, 1.0, m.power_heuristic(pdf_s, lp_hit)
+            )
+            acc = acc + jnp.where(
+                (hit_light & light_vis)[..., None],
+                mat_s.base_color * thr * w_light[..., None],
+                0.0,
+            )
+            act = act & ~hit_light
+
+            if with_nee:
+                wo = -d_s
+                is_delta = mat_s.mtype == dsc.MAT_DIELECTRIC
+                flip = (~is_delta) & (m.dot(nrm, wo) < 0.0)
+                nrm = jnp.where(flip[..., None], -nrm, nrm)
+                smp = rng.SamplerState(scramble=scr_s, ptr=base_ptr)
+                contrib, smp = _nee_contrib(
+                    ds, smp, act, mat_s, nrm, wo, pos_s, thr
+                )
+                acc = acc + contrib
+                smp, act, thr, nd, npdf, ndelta = _bsdf_advance(
+                    ds, smp, act, mat_s, nrm, wo, thr
+                )
+                no = pos_s + nd * 1e-5
+                nkey = dsc._sort_key(ds, no, nd) + jnp.where(
+                    act, 0, dsc._DEAD_KEY_BIT
+                )
+                upd = (
+                    nkey,
+                    ((lpk_s >> 1) << 1) | ndelta.astype(jnp.int32),
+                    smp.scramble,
+                    thr[:, 0], thr[:, 1], thr[:, 2],
+                    acc[:, 0], acc[:, 1], acc[:, 2],
+                    no[:, 0], no[:, 1], no[:, 2],
+                    nd[:, 0], nd[:, 1], nd[:, 2],
+                    npdf,
+                )
+                cols = tuple(
+                    jax.lax.dynamic_update_slice_in_dim(c, u, off, 0)
+                    for c, u in zip(cols, upd)
+                )
+            else:
+                # tail (last bounce's extension): only the accumulator
+                # advances; no further sort reads the other columns
+                out = list(cols)
+                for idx, u in ((6, acc[:, 0]), (7, acc[:, 1]),
+                               (8, acc[:, 2])):
+                    out[idx] = jax.lax.dynamic_update_slice_in_dim(
+                        out[idx], u, off, 0
+                    )
+                cols = tuple(out)
+            return j + 1, cols
+
+        _, cols = jax.lax.while_loop(
+            lambda st: st[0] < n_live_slices, body, (jnp.int32(0), cols)
+        )
+        return cols
+
+    def bounce_body(_i, carry):
+        ptr, m_prev = carry[0], carry[1]
+        m_new, cols = sort_phase(m_prev, carry[2:])
+        cols = run_slices(ptr, m_new, cols, with_nee=True)
+        # NEE consumes a 4D draw + the BSDF sample a 3D draw: the scalar
+        # ptr advances 7/bounce in lockstep with the dense loop (the
+        # parity test pins this against the dense sampler chain)
+        return (ptr + 7, m_new) + cols
+
+    # m_prev derives from (varying) key data: sort_phase returns a varying
+    # slice count, so the carry slot must start varying too
+    m0 = jnp.sum(key * 0) + n_slices
+    carry = (sampler.ptr, m0) + cols
+    carry = jax.lax.fori_loop(1, max_depth, bounce_body, carry)
+
+    # ---- tail: the final bounce's extension sweep + accounting ----
+    m_tail, cols = sort_phase(carry[1], carry[2:])
+    cols = run_slices(carry[0], m_tail, cols, with_nee=False)
+
+    # ---- deliver the compact accumulators to pixel order: the lane
+    # column is a permutation of 0..n-1, so one 4-col sort is the inverse
+    u = jax.lax.sort((cols[1] >> 1, cols[6], cols[7], cols[8]), num_keys=1)
     indirect = indirect + jnp.stack(u[1:4], axis=-1)
     return direct, indirect
 

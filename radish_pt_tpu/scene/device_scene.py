@@ -487,6 +487,50 @@ def intersect_compact(ds: DeviceScene, ray_o, ray_d, active, extras=(),
     return it, o_s, d_s, act_s, extras_s
 
 
+def intersect_ids(ds: DeviceScene, ray_o, ray_d, active):
+    """Closest hit on ALREADY-COHERENT rays returning only the winner —
+    ``(prim_id [N], bary [N,2] | None)`` — with NO surface recovery.  The
+    sliced bounce loop (render/pathtrace.py::_sliced_bounce_loop) sweeps
+    and refetches in the same slice, so the surface interpolation moves to
+    :func:`surface_from_ids` after the accounting that needs only ids.
+
+    ``bary`` is None on the MXU engines (their surface comes from the
+    winner id via :func:`surface_info_from_t`); the generic engines return
+    their exact barycentrics so the downstream surface math is bitwise
+    identical to :func:`intersect` per engine."""
+    if ds.intersector in MXU_ENGINES:
+        from ..accel.pallas_kernels import FLT_MAX
+
+        isect, _, tuning = _mxu_engines(ds)
+        tmax = jnp.where(active, FLT_MAX, -FLT_MAX)
+        prim, _ = isect(
+            ds.tri_packed, ray_o, ray_d,
+            tri_order=ds.tri_order, cluster_bounds=ds.cluster_bounds,
+            tmax=tmax, **tuning,
+        )
+        return jnp.where(active, prim, -1), None
+    if ds.intersector == "pallas_brute":
+        from ..accel.pallas_kernels import intersect_brute_pallas
+
+        prim, dist, bary = intersect_brute_pallas(ds.tri_packed, ray_o, ray_d)
+    elif ds.intersector == "bvh":
+        prim, dist, bary = trv.intersect_bvh(
+            ds.leaf_tris, ds.leaf_map, ds.bvh_packed, ray_o, ray_d
+        )
+    else:
+        prim, dist, bary = trv.intersect_brute(ds.tri_packed, ray_o, ray_d)
+    return jnp.where(active, prim, -1), bary
+
+
+def surface_from_ids(ds: DeviceScene, prim, bary, ray_o, ray_d):
+    """Surface recovery for :func:`intersect_ids` winners — the engine's
+    own exact path: winner-id replay on the MXU engines, barycentric
+    interpolation elsewhere.  Returns (pos, norm, uv, mat_id)."""
+    if bary is None:
+        return surface_info_from_t(ds, prim, ray_o, ray_d)
+    return surface_info(ds, prim, bary)
+
+
 _DEAD_KEY_BIT = 1 << 24  # above all live sort-key bits
 # the signature prepass is an [N, C] slab test; big scenes COARSEN the key
 # clusters (repeated pairing) to stay under this bound instead of falling

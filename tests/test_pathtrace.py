@@ -204,8 +204,11 @@ def test_compact_loop_matches_dense(monkeypatch):
     monkeypatch.setenv("RADISH_COMPACT", "0")
     d0, i0 = jax.jit(pt.path_trace, static_argnames=("max_depth",))(
         ds, cam, 5, 3)
-    monkeypatch.setenv("RADISH_COMPACT", "4,1")
-    d1, i1 = jax.jit(pt.path_trace, static_argnames=("max_depth",))(
-        ds, cam, 5, 3)
-    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d0))
-    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))
+    # "a,b" = round-4 tiered loop; "m" = round-5 sliced loop (one global
+    # compaction sort per bounce + dynamic slice count)
+    for env in ("4,1", "4"):
+        monkeypatch.setenv("RADISH_COMPACT", env)
+        d1, i1 = jax.jit(pt.path_trace, static_argnames=("max_depth",))(
+            ds, cam, 5, 3)
+        np.testing.assert_array_equal(np.asarray(d1), np.asarray(d0))
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))
