@@ -601,15 +601,24 @@ def _sort_key(ds: DeviceScene, ray_o, ray_d, tmax=None):
         ids = jnp.arange(n_c, dtype=jnp.int32)[None, :]
         rest = hit & (ids != first[:, None])
         second = jnp.where(rest.any(axis=1), jnp.argmax(rest, axis=1), n_c + 1)
-        d2 = jnp.clip(second - first, 0, 15)
-        cnt = jnp.clip(hit.sum(axis=1), 0, 15)
-        sig = ((first * 16 + d2) * 16 + cnt).astype(jnp.int32)
+        # WIDENED fields (round 5): first(8b) | second ABSOLUTE id (8b) |
+        # count(6b) = 22 bits < _DEAD_KEY_BIT.  The round-1 key clamped the
+        # second-cluster OFFSET to 15 and the count to 15; at the round-4
+        # per-scene cluster sizes (C up to 256) those clamps alias most of
+        # the tail — un-clamping closes nearly all the remaining gap to the
+        # full-mask lexsort ideal: hires bounce-1 row-union 13.67 -> 10.66
+        # vs ideal 9.76, per-ray floor 2.81 (tools/sorted_sweep_ab.py).
+        first8 = jnp.minimum(first, 255)
+        second8 = jnp.minimum(second, 255)
+        cnt = jnp.minimum(hit.sum(axis=1), 63)
+        sig = ((first8 << 14) | (second8 << 6) | cnt).astype(jnp.int32)
         if ds.intersector == "pallas_band":
             # COUNT-MAJOR refinement: group rays by flag count before the
             # signature, segregating the fat tail (p99 ~45-71 flags) into
             # its own rows so per-band max counts stay near the mean —
             # hires bounce-1 max-band(G16) 24.9 -> 20.7 (tools/band_stats.py)
-            sig = (cnt.astype(jnp.int32) << 18) | sig
+            sig = ((cnt.astype(jnp.int32) << 16)
+                   | (first8 << 8) | second8).astype(jnp.int32)
         return sig
 
     lo = cb[:, 0:3].min(axis=0)
