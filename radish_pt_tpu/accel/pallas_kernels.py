@@ -2881,7 +2881,7 @@ def _band_specs(P, Cp, words, G, n_pad, with_tm=False):
         (1, 1, 1, RAY_BLOCK // 128), lambda p, i: (i, p, 0, 0),
         memory_space=pltpu.SMEM,
     )
-    c_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    c_spec = pl.BlockSpec(memory_space=pl.ANY)
     f_spec = pl.BlockSpec(
         (10, RAY_BLOCK), lambda p, i: (0, i), memory_space=pltpu.VMEM
     )

@@ -530,8 +530,8 @@ def _sliced_bounce_loop(ds, sampler, active, throughput, direct, indirect,
       so post-sweep deaths (misses, emissive hits) are compacted before
       any capacity decision — the round-4 design's tier was bounded by the
       PRE-sweep live count, costing every scene one full-capacity bounce;
-    * compiles ONE slice body (all engines at shape [S]) instead of one
-      per ``lax.switch`` tier (~33 s of TPU compile each) — only the
+    * compiles ONE advance body (shape [S], :func:`advance` inside) instead
+      of one per ``lax.switch`` tier (~33 s of TPU compile each) — only the
       cheap sort branches still switch over whole-slice capacities;
     * quantizes capacity at S (n/8) instead of powers of two.
 
@@ -606,95 +606,107 @@ def _sliced_bounce_loop(ds, sampler, active, throughput, direct, indirect,
         valid = jnp.sum(cols[0] < dsc._DEAD_KEY_BIT).astype(jnp.int32)
         return (valid + S - 1) // S, cols
 
+    def advance(base_ptr, slice_cols, with_nee):
+        """One bounce step on a tuple of width-W columns (W = S for the
+        slice loop, W = n for the all-live full-width path): extension
+        sweep -> env/emissive MIS accounting -> surface refetch -> NEE ->
+        BSDF sample -> next sort key.  Pure per-lane math — the same
+        columns produce the same values at any width, which is what keeps
+        the full-width branch bitwise identical to the slice loop."""
+        (key_s, lpk_s, scr_s, t0, t1, t2, a0, a1, a2,
+         o0, o1, o2, d0, d1, d2, pdf_s) = slice_cols
+        act = key_s < dsc._DEAD_KEY_BIT
+        delta_s = (lpk_s & 1) != 0
+        o_s = jnp.stack([o0, o1, o2], axis=-1)
+        d_s = jnp.stack([d0, d1, d2], axis=-1)
+        thr = jnp.stack([t0, t1, t2], axis=-1)
+        acc = jnp.stack([a0, a1, a2], axis=-1)
+
+        # extension sweep (rays arrive globally signature-sorted)
+        prim, bary = dsc.intersect_ids(ds, o_s, d_s, act)
+        miss = act & (prim == NULL_PRIMITIVE)
+        if ds.has_env:
+            env_pdf = dsc.env_map_pdf(ds, d_s)
+            w_env = jnp.where(
+                delta_s, 1.0, m.power_heuristic(pdf_s, env_pdf)
+            )
+            acc = acc + jnp.where(
+                miss[..., None],
+                dsc.env_radiance(ds, d_s) * thr * w_env[..., None],
+                0.0,
+            )
+        act = act & ~miss
+
+        pos_s, nrm, uvi, mat_id = dsc.surface_from_ids(
+            ds, prim, bary, o_s, d_s
+        )
+        mat_s, nrm = dsc.get_textured_material(ds, mat_id, uvi, nrm)
+        hit_light = act & (mat_s.mtype == dsc.MAT_LIGHT)
+        light_vis = _light_visible_side(ds, nrm, d_s)
+        # prev_pos for the area->solid-angle pdf: undo the origin inset
+        # (~1e-12 residual, far below the pdf's own conditioning; the
+        # dense-parity claim is exact-to-ulp on light-hit MIS lanes)
+        lp_hit = dsc.area_light_hit_pdf(
+            ds, mat_s.base_color, o_s - d_s * 1e-5, pos_s, nrm
+        )
+        w_light = jnp.where(
+            delta_s, 1.0, m.power_heuristic(pdf_s, lp_hit)
+        )
+        acc = acc + jnp.where(
+            (hit_light & light_vis)[..., None],
+            mat_s.base_color * thr * w_light[..., None],
+            0.0,
+        )
+        act = act & ~hit_light
+
+        if not with_nee:
+            # tail (last bounce's extension): only the accumulator
+            # advances; no further sort reads the other columns
+            return (acc[:, 0], acc[:, 1], acc[:, 2])
+
+        wo = -d_s
+        is_delta = mat_s.mtype == dsc.MAT_DIELECTRIC
+        flip = (~is_delta) & (m.dot(nrm, wo) < 0.0)
+        nrm = jnp.where(flip[..., None], -nrm, nrm)
+        smp = rng.SamplerState(scramble=scr_s, ptr=base_ptr)
+        contrib, smp = _nee_contrib(
+            ds, smp, act, mat_s, nrm, wo, pos_s, thr
+        )
+        acc = acc + contrib
+        smp, act, thr, nd, npdf, ndelta = _bsdf_advance(
+            ds, smp, act, mat_s, nrm, wo, thr
+        )
+        no = pos_s + nd * 1e-5
+        nkey = dsc._sort_key(ds, no, nd) + jnp.where(
+            act, 0, dsc._DEAD_KEY_BIT
+        )
+        return (
+            nkey,
+            ((lpk_s >> 1) << 1) | ndelta.astype(jnp.int32),
+            smp.scramble,
+            thr[:, 0], thr[:, 1], thr[:, 2],
+            acc[:, 0], acc[:, 1], acc[:, 2],
+            no[:, 0], no[:, 1], no[:, 2],
+            nd[:, 0], nd[:, 1], nd[:, 2],
+            npdf,
+        )
+
     def run_slices(base_ptr, n_live_slices, cols, with_nee):
         def body(st):
             j, cols = st
             off = j * S
-            (key_s, lpk_s, scr_s, t0, t1, t2, a0, a1, a2,
-             o0, o1, o2, d0, d1, d2, pdf_s) = (
+            sl = tuple(
                 jax.lax.dynamic_slice_in_dim(col, off, S) for col in cols
             )
-            act = key_s < dsc._DEAD_KEY_BIT
-            delta_s = (lpk_s & 1) != 0
-            o_s = jnp.stack([o0, o1, o2], axis=-1)
-            d_s = jnp.stack([d0, d1, d2], axis=-1)
-            thr = jnp.stack([t0, t1, t2], axis=-1)
-            acc = jnp.stack([a0, a1, a2], axis=-1)
-
-            # extension sweep (rays arrive globally signature-sorted)
-            prim, bary = dsc.intersect_ids(ds, o_s, d_s, act)
-            miss = act & (prim == NULL_PRIMITIVE)
-            if ds.has_env:
-                env_pdf = dsc.env_map_pdf(ds, d_s)
-                w_env = jnp.where(
-                    delta_s, 1.0, m.power_heuristic(pdf_s, env_pdf)
-                )
-                acc = acc + jnp.where(
-                    miss[..., None],
-                    dsc.env_radiance(ds, d_s) * thr * w_env[..., None],
-                    0.0,
-                )
-            act = act & ~miss
-
-            pos_s, nrm, uvi, mat_id = dsc.surface_from_ids(
-                ds, prim, bary, o_s, d_s
-            )
-            mat_s, nrm = dsc.get_textured_material(ds, mat_id, uvi, nrm)
-            hit_light = act & (mat_s.mtype == dsc.MAT_LIGHT)
-            light_vis = _light_visible_side(ds, nrm, d_s)
-            # prev_pos for the area->solid-angle pdf: undo the origin inset
-            # (~1e-12 residual, far below the pdf's own conditioning; the
-            # dense-parity claim is exact-to-ulp on light-hit MIS lanes)
-            lp_hit = dsc.area_light_hit_pdf(
-                ds, mat_s.base_color, o_s - d_s * 1e-5, pos_s, nrm
-            )
-            w_light = jnp.where(
-                delta_s, 1.0, m.power_heuristic(pdf_s, lp_hit)
-            )
-            acc = acc + jnp.where(
-                (hit_light & light_vis)[..., None],
-                mat_s.base_color * thr * w_light[..., None],
-                0.0,
-            )
-            act = act & ~hit_light
-
+            upd = advance(base_ptr, sl, with_nee)
             if with_nee:
-                wo = -d_s
-                is_delta = mat_s.mtype == dsc.MAT_DIELECTRIC
-                flip = (~is_delta) & (m.dot(nrm, wo) < 0.0)
-                nrm = jnp.where(flip[..., None], -nrm, nrm)
-                smp = rng.SamplerState(scramble=scr_s, ptr=base_ptr)
-                contrib, smp = _nee_contrib(
-                    ds, smp, act, mat_s, nrm, wo, pos_s, thr
-                )
-                acc = acc + contrib
-                smp, act, thr, nd, npdf, ndelta = _bsdf_advance(
-                    ds, smp, act, mat_s, nrm, wo, thr
-                )
-                no = pos_s + nd * 1e-5
-                nkey = dsc._sort_key(ds, no, nd) + jnp.where(
-                    act, 0, dsc._DEAD_KEY_BIT
-                )
-                upd = (
-                    nkey,
-                    ((lpk_s >> 1) << 1) | ndelta.astype(jnp.int32),
-                    smp.scramble,
-                    thr[:, 0], thr[:, 1], thr[:, 2],
-                    acc[:, 0], acc[:, 1], acc[:, 2],
-                    no[:, 0], no[:, 1], no[:, 2],
-                    nd[:, 0], nd[:, 1], nd[:, 2],
-                    npdf,
-                )
                 cols = tuple(
                     jax.lax.dynamic_update_slice_in_dim(c, u, off, 0)
                     for c, u in zip(cols, upd)
                 )
             else:
-                # tail (last bounce's extension): only the accumulator
-                # advances; no further sort reads the other columns
                 out = list(cols)
-                for idx, u in ((6, acc[:, 0]), (7, acc[:, 1]),
-                               (8, acc[:, 2])):
+                for idx, u in zip((6, 7, 8), upd):
                     out[idx] = jax.lax.dynamic_update_slice_in_dim(
                         out[idx], u, off, 0
                     )
@@ -715,6 +727,16 @@ def _sliced_bounce_loop(ds, sampler, active, throughput, direct, indirect,
         # parity test pins this against the dense sampler chain)
         return (ptr + 7, m_new) + cols
 
+    # MEASURED DEAD END (round 5, do not retry): running the ~all-live
+    # first loop iteration as ONE full-width advance instead of n_slices
+    # slice launches — as a lax.cond fast path (hires +25 ms: conditional
+    # buffer copies on 16 full-width columns every bounce) AND as a static
+    # peel (hires +15 ms, teapot +1 ms).  The standalone sum-of-slices
+    # probe (tools/slice_budget.py: 8 slice sweeps 101 ms vs 69.6
+    # full-width) overstates in-program slice cost by its per-dispatch
+    # overhead; inside the compiled loop, slice launches are cheap and the
+    # full-width advance's big temporaries win nothing back.
+    #
     # m_prev derives from (varying) key data: sort_phase returns a varying
     # slice count, so the carry slot must start varying too
     m0 = jnp.sum(key * 0) + n_slices
