@@ -193,7 +193,15 @@ def path_trace(
     pos = it.pos
 
     mode = _compact_mode()
-    if mode is not None and ds.cluster_bounds is not None and max_depth >= 1:
+    # LIVENESS GATE (VERDICT r4 #3): compaction pays only when the sweeps
+    # it shrinks dominate the sorts it adds.  At many_light (76 tris) the
+    # sweeps are trivial and the compact loop's extra sort columns +
+    # delivery sort made it a net +2% (tiered, r4) / +1% (sliced, r5:
+    # 77.7 vs 77.0 ms dense) — so small scenes keep the dense masked loop.
+    # RADISH_COMPACT_MIN_TRIS overrides the 2000-triangle threshold.
+    min_tris = int(os.environ.get("RADISH_COMPACT_MIN_TRIS", "2000"))
+    if (mode is not None and ds.cluster_bounds is not None
+            and max_depth >= 1 and ds.num_triangles >= min_tris):
         kind, arg = mode
         loop = (_compact_bounce_loop if kind == "tiers"
                 else _sliced_bounce_loop)
