@@ -315,11 +315,18 @@ def path_trace(
 
 def _nee_contrib(ds, sampler, active, mat, norm, wo, pos, throughput):
     """Next-event estimation with MIS at the current vertex; returns
-    (contrib [K,3] — zero on masked lanes, sampler)."""
+    (contrib [K,3] — zero on masked lanes, sampler).
+
+    ``RADISH_NEE_SORT=0`` (trace-time env, A/B knob) skips the shadow-ray
+    signature sort — candidate saving inside the compact loop, whose lanes
+    arrive extension-sorted and mostly live.  Results are bitwise
+    identical either way (sorting only reorders independent per-lane
+    math)."""
     is_delta = mat.mtype == dsc.MAT_DIELECTRIC
     r4, sampler = rng.sample_4d(ds.sobol, sampler)
     li, wi, light_pdf = dsc.sample_direct_light(
-        ds, pos, r4, mask=active & ~is_delta, shade_normal=norm
+        ds, pos, r4, mask=active & ~is_delta, shade_normal=norm,
+        sort=os.environ.get("RADISH_NEE_SORT", "1") != "0",
     )
     nee_ok = active & (~is_delta) & (light_pdf > 0.0)
     f = bsdf.bsdf_eval(mat, norm, wo, wi, types=ds.mat_types)
