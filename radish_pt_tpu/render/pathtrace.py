@@ -322,6 +322,8 @@ def _nee_contrib(ds, sampler, active, mat, norm, wo, pos, throughput):
     arrive extension-sorted and mostly live.  Results are bitwise
     identical either way (sorting only reorders independent per-lane
     math)."""
+    if os.environ.get("RADISH_PROBE_NONEE"):  # timing attribution ONLY:
+        return throughput * 0.0, sampler      # wrong image, NEE-free frame
     is_delta = mat.mtype == dsc.MAT_DIELECTRIC
     r4, sampler = rng.sample_4d(ds.sobol, sampler)
     li, wi, light_pdf = dsc.sample_direct_light(
@@ -621,13 +623,17 @@ def _sliced_bounce_loop(ds, sampler, active, throughput, direct, indirect,
         valid = jnp.sum(cols[0] < dsc._DEAD_KEY_BIT).astype(jnp.int32)
         return (valid + S - 1) // S, cols
 
-    def advance(base_ptr, slice_cols, with_nee):
+    def advance(base_ptr, slice_cols, with_nee, sweep_result=None):
         """One bounce step on a tuple of width-W columns (W = S for the
-        slice loop, W = n for the all-live full-width path): extension
+        slice loop, W = n for the bounce-level shading path): extension
         sweep -> env/emissive MIS accounting -> surface refetch -> NEE ->
         BSDF sample -> next sort key.  Pure per-lane math — the same
         columns produce the same values at any width, which is what keeps
-        the full-width branch bitwise identical to the slice loop."""
+        the bounce-level path bitwise identical to the slice loop.
+
+        ``sweep_result``: optional precomputed ``(prim, bary)`` from
+        :func:`sweep_slices` — the bounce-level mode sweeps in slices but
+        shades once at full width."""
         (key_s, lpk_s, scr_s, t0, t1, t2, a0, a1, a2,
          o0, o1, o2, d0, d1, d2, pdf_s) = slice_cols
         act = key_s < dsc._DEAD_KEY_BIT
@@ -638,7 +644,12 @@ def _sliced_bounce_loop(ds, sampler, active, throughput, direct, indirect,
         acc = jnp.stack([a0, a1, a2], axis=-1)
 
         # extension sweep (rays arrive globally signature-sorted)
-        prim, bary = dsc.intersect_ids(ds, o_s, d_s, act)
+        if sweep_result is None:
+            prim, bary = dsc.intersect_ids(ds, o_s, d_s, act)
+        else:
+            prim, bary = sweep_result
+            # lanes beyond the swept live slices hold stale winners
+            prim = jnp.where(act, prim, NULL_PRIMITIVE)
         miss = act & (prim == NULL_PRIMITIVE)
         if ds.has_env:
             env_pdf = dsc.env_map_pdf(ds, d_s)
@@ -733,10 +744,57 @@ def _sliced_bounce_loop(ds, sampler, active, throughput, direct, indirect,
         )
         return cols
 
+    # The MXU engines recover surfaces from the winner id alone; generic
+    # engines (bvh/brute) need their exact barycentrics carried out of the
+    # slice loop for bitwise parity with the in-slice path.
+    carry_bary = ds.intersector not in dsc.MXU_ENGINES
+
+    def sweep_slices(n_live_slices, cols, prim_buf, bx_buf, by_buf):
+        """Slice loop in SWEEP-ONLY mode (``RADISH_NEE_LEVEL=bounce``):
+        each slice runs just the extension sweep and records the winner;
+        accounting / surface refetch / NEE / BSDF happen once per bounce
+        at full width in :func:`advance` via ``sweep_result``."""
+        def body(st):
+            j, prim_buf, bx_buf, by_buf = st
+            off = j * S
+            key_s = jax.lax.dynamic_slice_in_dim(cols[0], off, S)
+            o_s = jnp.stack(
+                [jax.lax.dynamic_slice_in_dim(cols[9 + k], off, S)
+                 for k in range(3)], axis=-1)
+            d_s = jnp.stack(
+                [jax.lax.dynamic_slice_in_dim(cols[12 + k], off, S)
+                 for k in range(3)], axis=-1)
+            act = key_s < dsc._DEAD_KEY_BIT
+            prim, bary = dsc.intersect_ids(ds, o_s, d_s, act)
+            prim_buf = jax.lax.dynamic_update_slice_in_dim(
+                prim_buf, prim, off, 0)
+            if carry_bary:
+                bx_buf = jax.lax.dynamic_update_slice_in_dim(
+                    bx_buf, bary[:, 0], off, 0)
+                by_buf = jax.lax.dynamic_update_slice_in_dim(
+                    by_buf, bary[:, 1], off, 0)
+            return j + 1, prim_buf, bx_buf, by_buf
+
+        _, prim_buf, bx_buf, by_buf = jax.lax.while_loop(
+            lambda st: st[0] < n_live_slices, body,
+            (jnp.int32(0), prim_buf, bx_buf, by_buf),
+        )
+        bary = (jnp.stack([bx_buf, by_buf], axis=-1) if carry_bary
+                else None)
+        return prim_buf, bary
+
+    nee_level = os.environ.get("RADISH_NEE_LEVEL", "slice")
+
     def bounce_body(_i, carry):
         ptr, m_prev = carry[0], carry[1]
         m_new, cols = sort_phase(m_prev, carry[2:])
-        cols = run_slices(ptr, m_new, cols, with_nee=True)
+        if nee_level == "bounce":
+            prim0 = cols[0] * 0 + NULL_PRIMITIVE
+            z = cols[3] * 0.0
+            sweep = sweep_slices(m_new, cols, prim0, z, z)
+            cols = advance(ptr, cols, True, sweep_result=sweep)
+        else:
+            cols = run_slices(ptr, m_new, cols, with_nee=True)
         # NEE consumes a 4D draw + the BSDF sample a 3D draw: the scalar
         # ptr advances 7/bounce in lockstep with the dense loop (the
         # parity test pins this against the dense sampler chain)
@@ -760,7 +818,16 @@ def _sliced_bounce_loop(ds, sampler, active, throughput, direct, indirect,
 
     # ---- tail: the final bounce's extension sweep + accounting ----
     m_tail, cols = sort_phase(carry[1], carry[2:])
-    cols = run_slices(carry[0], m_tail, cols, with_nee=False)
+    if nee_level == "bounce":
+        prim0 = cols[0] * 0 + NULL_PRIMITIVE
+        z = cols[3] * 0.0
+        sweep = sweep_slices(m_tail, cols, prim0, z, z)
+        acc3 = advance(carry[0], cols, False, sweep_result=sweep)
+        out = list(cols)
+        out[6], out[7], out[8] = acc3
+        cols = tuple(out)
+    else:
+        cols = run_slices(carry[0], m_tail, cols, with_nee=False)
 
     # ---- deliver the compact accumulators to pixel order: the lane
     # column is a permutation of 0..n-1, so one 4-col sort is the inverse

@@ -205,9 +205,12 @@ def test_compact_loop_matches_dense(monkeypatch):
     d0, i0 = jax.jit(pt.path_trace, static_argnames=("max_depth",))(
         ds, cam, 5, 3)
     # "a,b" = round-4 tiered loop; "m" = round-5 sliced loop (one global
-    # compaction sort per bounce + dynamic slice count)
-    for env in ("4,1", "4"):
+    # compaction sort per bounce + dynamic slice count); nee_level=bounce
+    # = sweep-only slices + one full-width shading pass per bounce
+    for env, nee_level in (("4,1", "slice"), ("4", "slice"),
+                           ("4", "bounce")):
         monkeypatch.setenv("RADISH_COMPACT", env)
+        monkeypatch.setenv("RADISH_NEE_LEVEL", nee_level)
         d1, i1 = jax.jit(pt.path_trace, static_argnames=("max_depth",))(
             ds, cam, 5, 3)
         np.testing.assert_array_equal(np.asarray(d1), np.asarray(d0))
