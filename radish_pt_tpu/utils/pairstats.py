@@ -42,6 +42,12 @@ MXU_BF16_FLOPS = 197e12  # v5e MXU peak
 FLOPS_PER_PAIR_MXU = 480.0  # 4 planes x K=10 x 2 x ~6 HIGHEST passes
 
 PAIR_RATE_CEILING = VPU_EFFECTIVE_OPS / OPS_PER_PAIR_VPU  # ~20.5 G pairs/s
+# NOTE (round 5): the VPU ceiling dates from 64-tri clusters at HIGHEST
+# precision.  With bf16x6 dots and 512-tri cull clusters, teapot_hires
+# sustains a measured 38.8 G pairs/s — "vpu_util_pct" above 100 on big
+# scenes means the sweep has shifted MXU-ward, not that the measurement
+# is wrong; read gpairs_per_s and cull_efficiency_pct as the primary
+# round-over-round comparators.
 
 
 def _row_union_and_floor(cb, ray_o, ray_d, active, tmax=None, lanes=128,
