@@ -492,6 +492,18 @@ def _plucker_occl_kernel(
     )
 
     def _step_body():
+        # ANY-HIT EARLY EXIT (round 5): a row whose every lane is already
+        # occluded cannot change — skip all its remaining sub-sweeps.
+        # Evaluated ONCE per (grid step, row) as a 128-lane min-reduce
+        # (~ROWS x n_chunks scalar branches per sweep, far below the
+        # per-(row, sub) budget the round-2 union guard flagged); within a
+        # step the flag is conservatively stale, which only costs the
+        # sub-sweeps of the chunk where the row filled in.  On closeup
+        # scenes most shadow rows occlude on their own origin cluster.
+        row_done = [
+            jnp.min(occ_s[pl.ds(base + r, 1), :]) > 0
+            for r in range(RAY_BLOCK // 128)
+        ]
         for s in range(tri_chunk // sub):
             cst = c_ref[s]  # [4*sub, 30] stacked bf16 planes
 
@@ -526,9 +538,12 @@ def _plucker_occl_kernel(
                     )
 
                 if use_mask:
-                    pl.when((mask_ref[0, r, c] >> s) & 1 != 0)(_sweep)
+                    pl.when(
+                        ((mask_ref[0, r, c] >> s) & 1 != 0)
+                        & jnp.logical_not(row_done[r])
+                    )(_sweep)
                 else:
-                    _sweep()
+                    pl.when(jnp.logical_not(row_done[r]))(_sweep)
 
     if use_mask:
         # step-level union guard (see _plucker_kernel)
