@@ -2068,6 +2068,13 @@ def _quad_occl_kernel(
     )
 
     def _step_body():
+        # any-hit early exit, as in _plucker_occl_kernel: a fully occluded
+        # row skips its remaining sub-sweeps (conservatively stale within
+        # a grid step)
+        row_done = [
+            jnp.min(occ_s[pl.ds(base + r, 1), :]) > 0
+            for r in range(RAY_BLOCK // 128)
+        ]
         for s in range(tri_chunk // sub):
             for r in range(RAY_BLOCK // 128):
                 def _sweep(s=s, r=r):
@@ -2093,9 +2100,12 @@ def _quad_occl_kernel(
                     )
 
                 if use_mask:
-                    pl.when((mask_ref[0, r, c] >> s) & 1 != 0)(_sweep)
+                    pl.when(
+                        ((mask_ref[0, r, c] >> s) & 1 != 0)
+                        & jnp.logical_not(row_done[r])
+                    )(_sweep)
                 else:
-                    _sweep()
+                    pl.when(jnp.logical_not(row_done[r]))(_sweep)
 
     if use_mask:
         # step-level union guard (see _plucker_kernel)
