@@ -468,6 +468,7 @@ def _plucker_occl_kernel(
     occ_ref,  # output [RAY_BLOCK//128, 128] i32 (0/1)
     occ_s,  # VMEM scratch [n_pad//128, 128] i32, persists across grid
     *, tri_chunk: int, n_chunks: int, sub: int, use_mask: bool, bf16x3: bool,
+    early_exit: bool = False,
 ):
     """ANY-HIT twin of :func:`_plucker_kernel` for shadow segments.
 
@@ -492,18 +493,23 @@ def _plucker_occl_kernel(
     )
 
     def _step_body():
-        # ANY-HIT EARLY EXIT (round 5): a row whose every lane is already
-        # occluded cannot change — skip all its remaining sub-sweeps.
-        # Evaluated ONCE per (grid step, row) as a 128-lane min-reduce
-        # (~ROWS x n_chunks scalar branches per sweep, far below the
-        # per-(row, sub) budget the round-2 union guard flagged); within a
-        # step the flag is conservatively stale, which only costs the
-        # sub-sweeps of the chunk where the row filled in.  On closeup
-        # scenes most shadow rows occlude on their own origin cluster.
-        row_done = [
-            jnp.min(occ_s[pl.ds(base + r, 1), :]) > 0
-            for r in range(RAY_BLOCK // 128)
-        ]
+        # ANY-HIT EARLY EXIT (round 5, big scenes only): a row whose every
+        # lane is already occluded cannot change — skip all its remaining
+        # sub-sweeps.  Evaluated ONCE per (grid step, row) as a 128-lane
+        # min-reduce; within a step the flag is conservatively stale.  On
+        # closeup scenes most shadow rows occlude on their own origin
+        # cluster (hires 407 -> 404 ms bench / 394 frame probe).  STATIC
+        # gate: the guard's data dependence on occ_s serializes Mosaic's
+        # sweep pipeline, which costs small scenes more than the skips
+        # recover (many_light 77.4 -> 83.5 ms measured) — callers enable
+        # it above OCCL_EARLY_EXIT_MIN_TRIS.
+        if early_exit:
+            row_done = [
+                jnp.min(occ_s[pl.ds(base + r, 1), :]) > 0
+                for r in range(RAY_BLOCK // 128)
+            ]
+        else:
+            row_done = [False] * (RAY_BLOCK // 128)
         for s in range(tri_chunk // sub):
             cst = c_ref[s]  # [4*sub, 30] stacked bf16 planes
 
@@ -537,13 +543,17 @@ def _plucker_occl_kernel(
                         jnp.int32
                     )
 
-                if use_mask:
+                if use_mask and early_exit:
                     pl.when(
                         ((mask_ref[0, r, c] >> s) & 1 != 0)
                         & jnp.logical_not(row_done[r])
                     )(_sweep)
-                else:
+                elif use_mask:
+                    pl.when((mask_ref[0, r, c] >> s) & 1 != 0)(_sweep)
+                elif early_exit:
                     pl.when(jnp.logical_not(row_done[r]))(_sweep)
+                else:
+                    _sweep()
 
     if use_mask:
         # step-level union guard (see _plucker_kernel)
@@ -557,6 +567,11 @@ def _plucker_occl_kernel(
     @pl.when(c == n_chunks - 1)
     def _flush():
         occ_ref[:] = occ_s[pl.ds(base, RAY_BLOCK // 128), :]
+
+
+# below this many triangles the early-exit guard's pipeline serialization
+# costs more than the skipped sub-sweeps recover (see _plucker_occl_kernel)
+OCCL_EARLY_EXIT_MIN_TRIS = 16384
 
 
 def _plucker_coeffs(tri_packed, center, prim_ids):
@@ -891,6 +906,7 @@ def occlusion_plucker_pallas(tri_packed, x, y,
         functools.partial(
             _plucker_occl_kernel, tri_chunk=tri_chunk, n_chunks=n_chunks,
             sub=sub, use_mask=use_mask, bf16x3=bf16x3,
+            early_exit=tri_packed.shape[0] >= OCCL_EARLY_EXIT_MIN_TRIS,
         ),
         grid=grid,
         in_specs=[mask_spec, c_spec, f_spec, tm_spec],
@@ -2046,7 +2062,7 @@ def _quad_occl_kernel(
     occ_ref,  # output [RAY_BLOCK//128, 128] i32 (0/1)
     occ_s,  # VMEM scratch [n_pad//128, 128] i32
     *, tri_chunk: int, n_chunks: int, sub: int, use_mask: bool,
-    prec: str = "f32",
+    prec: str = "f32", early_exit: bool = False,
 ):
     """Any-hit over unit-parameter SEGMENTS: rays carry d = y−x unnormalized,
     so the in-range test t∈(0,1) is two more quadratic planes (q5, q6) and
@@ -2070,11 +2086,14 @@ def _quad_occl_kernel(
     def _step_body():
         # any-hit early exit, as in _plucker_occl_kernel: a fully occluded
         # row skips its remaining sub-sweeps (conservatively stale within
-        # a grid step)
-        row_done = [
-            jnp.min(occ_s[pl.ds(base + r, 1), :]) > 0
-            for r in range(RAY_BLOCK // 128)
-        ]
+        # a grid step); statically gated by scene size (see the scan twin)
+        if early_exit:
+            row_done = [
+                jnp.min(occ_s[pl.ds(base + r, 1), :]) > 0
+                for r in range(RAY_BLOCK // 128)
+            ]
+        else:
+            row_done = [False] * (RAY_BLOCK // 128)
         for s in range(tri_chunk // sub):
             for r in range(RAY_BLOCK // 128):
                 def _sweep(s=s, r=r):
@@ -2099,13 +2118,17 @@ def _quad_occl_kernel(
                         jnp.int32
                     )
 
-                if use_mask:
+                if use_mask and early_exit:
                     pl.when(
                         ((mask_ref[0, r, c] >> s) & 1 != 0)
                         & jnp.logical_not(row_done[r])
                     )(_sweep)
-                else:
+                elif use_mask:
+                    pl.when((mask_ref[0, r, c] >> s) & 1 != 0)(_sweep)
+                elif early_exit:
                     pl.when(jnp.logical_not(row_done[r]))(_sweep)
+                else:
+                    _sweep()
 
     if use_mask:
         # step-level union guard (see _plucker_kernel)
@@ -2471,6 +2494,7 @@ def _quad_occl_launch(coeffs, center, ray_o, seg, cluster_bounds, *,
         functools.partial(
             _quad_occl_kernel, tri_chunk=tri_chunk, n_chunks=n_chunks,
             sub=sub, use_mask=use_mask, prec=prec,
+            early_exit=n_chunks * tri_chunk >= OCCL_EARLY_EXIT_MIN_TRIS,
         ),
         grid=grid,
         in_specs=[mask_spec, c_spec, f_spec],
